@@ -1,0 +1,39 @@
+"""Global configuration for kvxopt_tpu.
+
+The reference library (kvxopt, a CVXOPT fork) is a double-precision CPU
+library; its solver tolerances (abstol 1e-7, reltol 1e-6, feastol 1e-7 —
+reference src/python/coneprog.py:440-454) require float64 accumulation
+somewhere in the pipeline.  TPUs natively compute in f32/bf16 on the MXU and
+emulate f64 in software, so this build uses a *mixed* strategy:
+
+- ``default_dtype`` — dtype used for solver state and factorizations.
+  float64 by default (exact parity with the reference on CPU, emulated-f64 on
+  TPU).
+- ``compute_dtype`` — dtype used by the performance kernels (batched block
+  Cholesky, Pallas kernels).  float32 by default; results are corrected by
+  iterative refinement carried out in ``default_dtype``.
+
+x64 is enabled at import time (opt out with KVXOPT_TPU_NO_X64=1).
+"""
+
+import os
+
+import jax
+
+if not os.environ.get("KVXOPT_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402  (after x64 flag)
+
+default_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+compute_dtype = jnp.float32
+
+
+def set_default_dtype(dtype):
+    global default_dtype
+    default_dtype = jnp.dtype(dtype)
+
+
+def set_compute_dtype(dtype):
+    global compute_dtype
+    compute_dtype = jnp.dtype(dtype)
