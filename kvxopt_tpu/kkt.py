@@ -1,0 +1,324 @@
+"""Pluggable KKT factorization strategies.
+
+TPU-native equivalents of the reference's five KKT strategies
+(reference src/python/misc.py: kkt_ldl :1055, kkt_ldl2 :1128, kkt_chol
+:1213, kkt_chol2 :1352, kkt_qr :1570).  Each strategy is a function
+
+    make_kkt_solver(name, dims, G, A, P=None, mnl=0, reg=0.0)
+        -> factor(W, H=None, Df=None)
+        -> solve(bx, by, bz) -> (ux, uy, uz)
+
+solving the (scaled) Newton system
+
+    [ P+H  A'  Geff'       ] [ux]   [bx]
+    [ A    0   0           ] [uy] = [by]
+    [ Geff 0  -W'W         ] [uz]   [bz]
+
+where Geff = [Df; G] when a nonlinear block Df is present (its mnl rows are
+scaled like extra 'l' entries — the reference's 'dnl' part), and W is the
+Nesterov-Todd scaling for dims.with_extra_l(mnl).
+
+All strategies are pure functions of jnp arrays and trace cleanly under jit;
+matrix-free G/A require a custom kktsolver at the solver level, exactly like
+the reference (coneprog.py:286-402 customization contract).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from . import cones
+from .cones import ConeDims, NTScaling
+
+STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr")
+
+
+def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
+                    reg: float = 0.0):
+    if name not in STRATEGIES:
+        raise ValueError(f"unknown kktsolver {name!r}; expected one of "
+                         f"{STRATEGIES}")
+    n = G.shape[1] if G is not None else (A.shape[1] if A is not None
+                                          else P.shape[1])
+    dtype = G.dtype if G is not None else jnp.asarray(P).dtype
+    if A is None:
+        A = jnp.zeros((0, n), dtype=dtype)
+    edims = dims.with_extra_l(mnl) if mnl else dims
+    fn = {"chol2": _kkt_chol2, "chol": _kkt_chol, "qr": _kkt_qr,
+          "ldl": _kkt_ldl, "ldl2": _kkt_ldl2}[name]
+    return partial(fn, dims, edims, G, A, P, mnl, reg)
+
+
+def _geff(G, Df, mnl):
+    if mnl:
+        if Df is None:
+            raise ValueError("Df required when mnl > 0")
+        return jnp.concatenate([Df, G], axis=0) if G.shape[0] else Df
+    return G
+
+
+def _keff(P, H, n, dtype):
+    K = 0.0
+    if P is not None:
+        K = K + P
+    if H is not None:
+        K = K + H
+    if isinstance(K, float):
+        return jnp.zeros((n, n), dtype=dtype)
+    return K
+
+
+def _chol_spd(K, reg):
+    if reg:
+        K = K + reg * jnp.eye(K.shape[0], dtype=K.dtype)
+    return jnp.linalg.cholesky(K)
+
+
+def _chol_solve(L, b):
+    y = solve_triangular(L, b, lower=True)
+    return solve_triangular(L.T, y, lower=False)
+
+
+# ---------------------------------------------------------------------------
+# chol2 — condensed normal equations (reference misc.py:1352 kkt_chol2)
+# ---------------------------------------------------------------------------
+
+def _kkt_chol2(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
+    """Eliminate uz, factor K = P + H + Gs'Gs (Gs = W^{-T} Geff), then a
+    Schur complement over A.  The workhorse strategy: two Cholesky
+    factorizations, everything MXU-shaped."""
+    n, p = G.shape[1], A.shape[0]
+    Geff = _geff(G, Df, mnl)
+    Gs = cones.wtw_scale_cols(edims, W, Geff)
+    K = _keff(P, H, n, G.dtype) + Gs.T @ Gs
+    L = _chol_spd(K, reg)
+    if p:
+        KiAt = _chol_solve(L, A.T)           # K^{-1} A'
+        S = A @ KiAt                          # Schur complement
+        Ls = _chol_spd(S, reg)
+    else:
+        KiAt = Ls = None
+
+    def solve(bx, by, bz):
+        bzs = cones.scale(edims, W, bz, trans=True, inverse=True)  # W^{-T} bz
+        f = bx + Gs.T @ bzs
+        if p:
+            Kif = _chol_solve(L, f)
+            uy = _chol_solve(Ls, A @ Kif - by)
+            ux = Kif - KiAt @ uy
+        else:
+            ux = _chol_solve(L, f)
+            uy = jnp.zeros((0,), dtype=bx.dtype)
+        # uz = (W'W)^{-1} (Geff ux - bz) = W^{-1} (Gs ux - W^{-T} bz)
+        uz = cones.scale(edims, W, Gs @ ux - bzs, inverse=True)
+        return ux, uy, uz
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# chol — null-space method with Cholesky (reference misc.py:1213 kkt_chol)
+# ---------------------------------------------------------------------------
+
+def _nullspace(A):
+    """Full QR of A' -> (Q1 (n,p), Q2 (n,n-p), R1 (p,p))."""
+    n = A.shape[1]
+    p = A.shape[0]
+    Q, R = jnp.linalg.qr(A.T, mode="complete")
+    return Q[:, :p], Q[:, p:], R[:p, :p]
+
+
+def _kkt_nullspace(dims, edims, G, A, P, mnl, reg, W, H, Df, spd_solver):
+    """Common null-space elimination: x = Q1 w + Q2 v with A' = Q R."""
+    n, p = G.shape[1], A.shape[0]
+    Geff = _geff(G, Df, mnl)
+    Gs = cones.wtw_scale_cols(edims, W, Geff)
+    K = _keff(P, H, n, G.dtype) + Gs.T @ Gs
+    if p:
+        Q1, Q2, R1 = _nullspace(A)
+        Kred = Q2.T @ K @ Q2
+        solve_red = spd_solver(Kred, reg)
+
+        def solve(bx, by, bz):
+            bzs = cones.scale(edims, W, bz, trans=True, inverse=True)
+            f = bx + Gs.T @ bzs
+            w = solve_triangular(R1.T, by, lower=True)
+            v = solve_red(Q2.T @ (f - K @ (Q1 @ w)))
+            ux = Q1 @ w + Q2 @ v
+            uy = solve_triangular(R1, Q1.T @ (f - K @ ux), lower=False)
+            uz = cones.scale(edims, W, Gs @ ux - bzs, inverse=True)
+            return ux, uy, uz
+    else:
+        solve_full = spd_solver(K, reg)
+
+        def solve(bx, by, bz):
+            bzs = cones.scale(edims, W, bz, trans=True, inverse=True)
+            ux = solve_full(bx + Gs.T @ bzs)
+            uy = jnp.zeros((0,), dtype=bx.dtype)
+            uz = cones.scale(edims, W, Gs @ ux - bzs, inverse=True)
+            return ux, uy, uz
+
+    return solve
+
+
+def _spd_chol(K, reg):
+    L = _chol_spd(K, reg)
+    return lambda b: _chol_solve(L, b)
+
+
+def _spd_qr(K, reg):
+    # QR of the (symmetric PSD) reduced matrix: more robust than Cholesky
+    # for nearly singular K; mirrors the role of the reference's kkt_qr.
+    if reg:
+        K = K + reg * jnp.eye(K.shape[0], dtype=K.dtype)
+    Q, R = jnp.linalg.qr(K)
+    return lambda b: solve_triangular(R, Q.T @ b, lower=False)
+
+
+def _kkt_chol(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
+    return _kkt_nullspace(dims, edims, G, A, P, mnl, reg, W, H, Df, _spd_chol)
+
+
+def _kkt_qr(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
+    return _kkt_nullspace(dims, edims, G, A, P, mnl, reg, W, H, Df, _spd_qr)
+
+
+# ---------------------------------------------------------------------------
+# ldl / ldl2 — regularized quasidefinite factorizations
+# (reference misc.py:1055 kkt_ldl, :1128 kkt_ldl2)
+# ---------------------------------------------------------------------------
+
+DEFAULT_KKTREG = 1e-9
+
+
+def ldl_nopiv(M, block: int = 64):
+    """Unpivoted blocked LDL' factorization of a quasidefinite matrix.
+
+    Returns (L, d) with M = L diag(d) L', L unit lower triangular.  Valid
+    for quasidefinite M (symmetric with a [+ -] signed structure after
+    regularization — the QDLDL/OSQP approach); the IPM applies iterative
+    refinement on top.  Blocked right-looking: the O(n) sequential work is
+    confined to `block`-sized panels, trailing updates are matmuls.
+    """
+    n = M.shape[0]
+    nb = -(-n // block) * block
+    if nb != n:
+        Mp = jnp.zeros((nb, nb), M.dtype).at[:n, :n].set(M)
+        Mp = Mp.at[jnp.arange(n, nb), jnp.arange(n, nb)].set(1.0)
+    else:
+        Mp = M
+    L = jnp.zeros_like(Mp)
+    d = jnp.zeros((nb,), M.dtype)
+
+    for k0 in range(0, nb, block):
+        # panel = trailing columns [k0:k0+block) of the updated matrix
+        Akk = Mp[k0:k0 + block, k0:k0 + block]
+        Ask = Mp[k0 + block:, k0:k0 + block]
+
+        # factor the diagonal block with a fori_loop of masked rank-1 updates
+        def body(j, carry):
+            Akk, Lkk, dk = carry
+            pivot = Akk[j, j]
+            col = Akk[:, j] / pivot
+            idx = jnp.arange(block)
+            col = jnp.where(idx > j, col, 0.0).at[j].set(1.0)
+            Lkk = Lkk.at[:, j].set(col)
+            dk = dk.at[j].set(pivot)
+            upd = jnp.outer(col, col) * pivot
+            mask = (idx[:, None] > j) & (idx[None, :] > j)
+            Akk = Akk - jnp.where(mask, upd, 0.0)
+            return Akk, Lkk, dk
+
+        _, Lkk, dk = jax.lax.fori_loop(
+            0, block, body,
+            (Akk, jnp.zeros((block, block), M.dtype),
+             jnp.zeros((block,), M.dtype)))
+
+        # off-diagonal panel: Lsk = Ask L_kk^{-T} D^{-1}
+        if Ask.shape[0]:
+            Lsk = solve_triangular(Lkk, Ask.T, lower=True).T / dk[None, :]
+            # trailing update: M22 -= Lsk D Lsk'
+            upd = (Lsk * dk[None, :]) @ Lsk.T
+            Mp = Mp.at[k0 + block:, k0 + block:].add(-upd)
+            L = L.at[k0 + block:, k0:k0 + block].set(Lsk)
+        L = L.at[k0:k0 + block, k0:k0 + block].set(Lkk)
+        d = d.at[k0:k0 + block].set(dk)
+
+    return L[:n, :n], d[:n]
+
+
+def ldl_solve(L, d, b):
+    y = solve_triangular(L, b, lower=True, unit_diagonal=True)
+    y = y / d if y.ndim == 1 else y / d[:, None]
+    return solve_triangular(L.T, y, lower=False, unit_diagonal=True)
+
+
+def _kkt_ldl(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
+    """Full 3x3 LDL' with QDLDL-style +/- regularization (reference
+    kkt_ldl with the kktreg option, misc.py:1055-1125)."""
+    n, p = G.shape[1], A.shape[0]
+    eps = reg or DEFAULT_KKTREG
+    Geff = _geff(G, Df, mnl)
+    Gs = cones.wtw_scale_cols(edims, W, Geff)
+    N = Gs.shape[0]
+    nt = n + p + N
+    M = jnp.zeros((nt, nt), dtype=G.dtype)
+    Kxx = _keff(P, H, n, G.dtype)
+    M = M.at[:n, :n].set(Kxx + eps * jnp.eye(n, dtype=G.dtype))
+    M = M.at[n:n + p, :n].set(A)
+    M = M.at[:n, n:n + p].set(A.T)
+    M = M.at[n + p:, :n].set(Gs)
+    M = M.at[:n, n + p:].set(Gs.T)
+    M = M.at[n:n + p, n:n + p].set(-eps * jnp.eye(p, dtype=G.dtype))
+    M = M.at[n + p:, n + p:].set(-(1.0 + eps) * jnp.eye(N, dtype=G.dtype))
+    L, dvec = ldl_nopiv(M)
+
+    def solve(bx, by, bz):
+        bzs = cones.scale(edims, W, bz, trans=True, inverse=True)
+        rhs = jnp.concatenate([bx, by, bzs])
+        # one step of iterative refinement against the *unregularized* system
+        u = ldl_solve(L, dvec, rhs)
+        Mu = jnp.concatenate([
+            Kxx @ u[:n] + A.T @ u[n:n + p] + Gs.T @ u[n + p:],
+            A @ u[:n],
+            Gs @ u[:n] - u[n + p:],
+        ])
+        u = u + ldl_solve(L, dvec, rhs - Mu)
+        ux, uy = u[:n], u[n:n + p]
+        uz = cones.scale(edims, W, u[n + p:], inverse=True)
+        return ux, uy, uz
+
+    return solve
+
+
+def _kkt_ldl2(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
+    """2x2 condensed LDL': eliminate uz first (reference kkt_ldl2,
+    misc.py:1128)."""
+    n, p = G.shape[1], A.shape[0]
+    eps = reg or DEFAULT_KKTREG
+    Geff = _geff(G, Df, mnl)
+    Gs = cones.wtw_scale_cols(edims, W, Geff)
+    K = _keff(P, H, n, G.dtype) + Gs.T @ Gs
+    nt = n + p
+    M = jnp.zeros((nt, nt), dtype=G.dtype)
+    M = M.at[:n, :n].set(K + eps * jnp.eye(n, dtype=G.dtype))
+    M = M.at[n:, :n].set(A)
+    M = M.at[:n, n:].set(A.T)
+    M = M.at[n:, n:].set(-eps * jnp.eye(p, dtype=G.dtype))
+    L, dvec = ldl_nopiv(M)
+
+    def solve(bx, by, bz):
+        bzs = cones.scale(edims, W, bz, trans=True, inverse=True)
+        rhs = jnp.concatenate([bx + Gs.T @ bzs, by])
+        u = ldl_solve(L, dvec, rhs)
+        Mu = jnp.concatenate([K @ u[:n] + A.T @ u[n:], A @ u[:n]])
+        u = u + ldl_solve(L, dvec, rhs - Mu)
+        ux, uy = u[:n], u[n:]
+        uz = cones.scale(edims, W, Gs @ ux - bzs, inverse=True)
+        return ux, uy, uz
+
+    return solve

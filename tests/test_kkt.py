@@ -1,0 +1,104 @@
+"""KKT strategies: each must solve the scaled Newton system to high accuracy
+for random cone problems (the reference's contract, misc.py:1055-1570)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kvxopt_tpu import cones, kkt
+from kvxopt_tpu.cones import ConeDims
+from .test_cones import random_interior
+
+
+def build_system(dims, n, p, with_P, seed=0):
+    rng = np.random.default_rng(seed)
+    N = dims.size
+    G = rng.standard_normal((N, n))
+    # symmetrize s-block rows so columns are valid cone vectors
+    for ofs, m in zip(dims.sofs, dims.s):
+        for c in range(n):
+            X = G[ofs:ofs + m * m, c].reshape(m, m)
+            G[ofs:ofs + m * m, c] = (0.5 * (X + X.T)).ravel()
+    A = rng.standard_normal((p, n)) if p else np.zeros((0, n))
+    P = None
+    if with_P:
+        B = rng.standard_normal((n, n))
+        P = jnp.asarray(B @ B.T + n * np.eye(n))
+    s = random_interior(dims, rng)
+    z = random_interior(dims, rng)
+    W, _ = cones.compute_scaling(dims, s, z)
+    return jnp.asarray(G), jnp.asarray(A), P, W
+
+
+def check_residual(dims, G, A, P, W, solve, seed=1, tol=1e-6):
+    rng = np.random.default_rng(seed)
+    n, p, N = G.shape[1], A.shape[0], G.shape[0]
+    bx = jnp.asarray(rng.standard_normal(n))
+    by = jnp.asarray(rng.standard_normal(p))
+    bzn = rng.standard_normal(N)
+    for ofs, m in zip(dims.sofs, dims.s):
+        X = bzn[ofs:ofs + m * m].reshape(m, m)
+        bzn[ofs:ofs + m * m] = (0.5 * (X + X.T)).ravel()
+    bz = jnp.asarray(bzn)
+    ux, uy, uz = solve(bx, by, bz)
+    Px = P @ ux if P is not None else 0.0
+    r1 = Px + A.T @ uy + G.T @ uz - bx
+    r2 = A @ ux - by
+    wtwuz = cones.scale(dims, W, cones.scale(dims, W, uz), trans=True)
+    r3 = G @ ux - wtwuz - bz
+    scale = 1.0 + float(jnp.linalg.norm(bx))
+    assert float(jnp.linalg.norm(r1)) / scale < tol, f"r1 {jnp.linalg.norm(r1)}"
+    if p:
+        assert float(jnp.linalg.norm(r2)) / scale < tol
+    assert float(jnp.linalg.norm(r3)) / scale < tol
+
+
+DIMS = [ConeDims(l=6), ConeDims(l=2, q=(3, 4), s=(3,))]
+
+
+@pytest.mark.parametrize("strategy", kkt.STRATEGIES)
+@pytest.mark.parametrize("dims", DIMS)
+@pytest.mark.parametrize("p", [0, 2])
+@pytest.mark.parametrize("with_P", [False, True])
+def test_kkt_solve(strategy, dims, p, with_P):
+    n = 5
+    G, A, P, W = build_system(dims, n, p, with_P)
+    factor = kkt.make_kkt_solver(strategy, dims, G, A, P)
+    solve = factor(W)
+    check_residual(dims, G, A, P, W, solve)
+
+
+def test_ldl_nopiv_quasidefinite():
+    rng = np.random.default_rng(9)
+    n, m = 40, 17
+    E = rng.standard_normal((n, n)); E = E @ E.T + n * np.eye(n)
+    F = rng.standard_normal((m, m)); F = F @ F.T + m * np.eye(m)
+    B = rng.standard_normal((m, n))
+    M = np.block([[E, B.T], [B, -F]])
+    L, d = kkt.ldl_nopiv(jnp.asarray(M), block=16)
+    np.testing.assert_allclose(
+        np.asarray(L * np.asarray(d)[None, :] @ L.T), M, atol=1e-8)
+    b = rng.standard_normal(n + m)
+    x = kkt.ldl_solve(L, d, jnp.asarray(b))
+    np.testing.assert_allclose(M @ np.asarray(x), b, atol=1e-8)
+    # signs of d reveal the quasidefinite signature
+    assert (np.asarray(d[:n]) > 0).all() and (np.asarray(d[n:]) < 0).all()
+
+
+def test_kkt_with_nonlinear_block():
+    # mnl > 0: Df rows scaled like extra 'l' entries (reference 'dnl')
+    dims = ConeDims(l=3, q=(3,))
+    n, p, mnl = 4, 1, 2
+    rng = np.random.default_rng(3)
+    G, A, P, _ = build_system(dims, n, p, False)
+    Df = jnp.asarray(rng.standard_normal((mnl, n)))
+    H = jnp.asarray(np.eye(n))
+    edims = dims.with_extra_l(mnl)
+    s = random_interior(edims, rng)
+    z = random_interior(edims, rng)
+    W, _ = cones.compute_scaling(edims, s, z)
+    for strategy in kkt.STRATEGIES:
+        factor = kkt.make_kkt_solver(strategy, dims, G, A, P=None, mnl=mnl)
+        solve = factor(W, H=H, Df=Df)
+        Geff = jnp.concatenate([Df, G], axis=0)
+        check_residual(edims, Geff, A, H, W, solve)
