@@ -338,6 +338,19 @@ def compute_scaling(dims: ConeDims, s, z):
                      r=tuple(rs), rti=tuple(rtis)), lmbda
 
 
+def identity_scaling(dims: ConeDims, dtype=None) -> NTScaling:
+    """The identity scaling W = I (used for IPM initialization)."""
+    dtype = dtype or config.default_dtype
+    d = jnp.ones((dims.l,), dtype=dtype)
+    betas, vs = [], []
+    for m in dims.q:
+        betas.append(jnp.asarray(1.0, dtype=dtype))
+        # v = e gives W_q = 2 e e' - J = I
+        vs.append(jnp.zeros((m,), dtype=dtype).at[0].set(1.0))
+    rs = tuple(jnp.eye(m, dtype=dtype) for m in dims.s)
+    return NTScaling(d=d, beta=tuple(betas), v=tuple(vs), r=rs, rti=rs)
+
+
 def update_scaling(dims: ConeDims, W: NTScaling, s, z):
     """API-parity shim for the reference's incremental update_scaling
     (misc.py:422): recomputes the NT scaling from the current (s, z)."""
@@ -388,20 +401,48 @@ def scale(dims: ConeDims, W: NTScaling, u, trans: bool = False,
     return out
 
 
-def scale2(dims: ConeDims, lmbda, u, inverse: bool = False):
-    """Symmetric scaling with H(lambda)^{±1/2} in the quadratic
-    representation sense (reference misc_solvers.c:247 scale2 /
-    misc.py scale2): computes lambda o\\ u (inverse=False) or
-    lambda o u variants used by the solvers.
+def _soc_sqrt(lam):
+    """Jordan square root of an interior SOC vector."""
+    a = jnrm2(lam)
+    head = jnp.sqrt((lam[0] + a) / 2.0)
+    return jnp.concatenate([head[None], lam[1:] / (2.0 * head)])
 
-    Following the reference semantics:
-      inverse=False:  u := lambda o\\ u   (componentwise / arrow-inverse /
-                      (lam_i + lam_j)/2 division for s blocks)
-      inverse=True:   u := lambda o u with the same block structure.
+
+def scale2(dims: ConeDims, lmbda, u, inverse: bool = False):
+    """Apply the cone automorphism H(lambda^{-1/2}) that maps lambda to the
+    identity element e (inverse=True applies H(lambda^{1/2}), mapping e back
+    to lambda).  Functional equivalent of the reference's scale2
+    (misc_solvers.c:247, misc.py scale2), used for step-to-boundary
+    computations: s + a*ds >= 0  <=>  e + a*scale2(lmbda, W^{-T}ds) >= 0.
+
+      l: u / lambda           (inverse: u * lambda)
+      q: H(w) u = 2 w (w'u) - jdot(w) J u  with w = lambda^{-1/2}
+      s: Lam^{-1/2} U Lam^{-1/2}  elementwise u_ij / sqrt(lam_i lam_j)
+         (lambda's s blocks are diagonal).
     """
-    if not inverse:
-        return sinv(dims, lmbda, u)
-    return sprod(dims, lmbda, u, diag=True)
+    out = u * lmbda[: u.shape[0]] * 0 + u  # copy
+    if dims.l:
+        lam_l = lmbda[: dims.l]
+        out = out.at[: dims.l].set(
+            u[: dims.l] * lam_l if inverse else u[: dims.l] / lam_l)
+    for ofs, m in zip(dims.qofs, dims.q):
+        lam_b, ub = lmbda[ofs:ofs + m], u[ofs:ofs + m]
+        sq = _soc_sqrt(lam_b)
+        if inverse:
+            w = sq
+        else:
+            w = jnp.concatenate([sq[:1], -sq[1:]]) / jdot(sq)
+        Ju = jnp.concatenate([ub[:1], -ub[1:]])
+        vb = 2.0 * w * jnp.dot(w, ub) - jdot(w) * Ju
+        out = out.at[ofs:ofs + m].set(vb)
+    for ofs, m in zip(dims.sofs, dims.s):
+        lam_d = jnp.diagonal(lmbda[ofs:ofs + m * m].reshape(m, m))
+        U = u[ofs:ofs + m * m].reshape(m, m)
+        rt = jnp.sqrt(lam_d)
+        denom = rt[:, None] * rt[None, :]
+        V = U * denom if inverse else U / denom
+        out = out.at[ofs:ofs + m * m].set(V.reshape(-1))
+    return out
 
 
 # ---------------------------------------------------------------------------

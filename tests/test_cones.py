@@ -146,6 +146,36 @@ def test_scale_selfadjoint(dims):
 
 
 @pytest.mark.parametrize("dims", DIMS)
+def test_scale2_automorphism(dims):
+    rng = np.random.default_rng(11)
+    s = random_interior(dims, rng)
+    z = random_interior(dims, rng)
+    _, lmbda = cones.compute_scaling(dims, s, z)
+    e = cones.cone_e(dims)
+    # maps lambda -> e
+    np.testing.assert_allclose(cones.scale2(dims, lmbda, lmbda), e, atol=1e-8)
+    # roundtrip
+    u = random_sym(dims, rng)
+    np.testing.assert_allclose(
+        cones.scale2(dims, lmbda, cones.scale2(dims, lmbda, u), inverse=True),
+        u, atol=1e-8)
+    # automorphism: preserves cone membership
+    x = random_interior(dims, rng)
+    assert float(cones.max_step(dims, cones.scale2(dims, lmbda, x))) < 0
+
+
+def test_identity_scaling():
+    dims = ConeDims(l=2, q=(3,), s=(2,))
+    rng = np.random.default_rng(12)
+    u = random_sym(dims, rng)
+    W = cones.identity_scaling(dims)
+    for kw in [{}, {"trans": True}, {"inverse": True},
+               {"trans": True, "inverse": True}]:
+        np.testing.assert_allclose(cones.scale(dims, W, u, **kw), u,
+                                   atol=1e-12)
+
+
+@pytest.mark.parametrize("dims", DIMS)
 def test_pack_unpack(dims):
     rng = np.random.default_rng(7)
     u = random_sym(dims, rng)
