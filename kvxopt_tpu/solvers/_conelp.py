@@ -1,17 +1,482 @@
-"""conelp and natural-form wrappers (implementation in progress)."""
+"""conelp: cone LP via the extended self-dual embedding, plus the
+natural-form wrappers lp/socp/sdp.
+
+Reference semantics: src/python/coneprog.py conelp :31 (self-dual embedding
+with tau/kappa, Mehrotra predictor-corrector, infeasibility certificates),
+lp :2550, socp :3044, sdp :3597.  See coneprog.py in this package for the
+architectural notes; conelp shares the functional lax.while_loop design of
+coneqp with two extra scalar variables (tau, kappa) and the certificate
+logic of the embedding.
+
+Newton system solved each step (f6 in the reference, coneprog.py:1130):
+
+    A'dy + G'dz + c dtau                  = bx
+    A dx - b dtau                          = by
+    G dx + ds - h dtau                     = bz
+    c'dx + b'dy + h'dz + dkappa            = bt
+    lambda o (W^{-T}ds + W dz)             = d_s
+    kappa dtau + tau dkappa                = d_kappa
+
+reduced onto the 3x3 KKT factorization by eliminating ds and dkappa and
+expanding (dx,dy,dz) = (xt,yt,zt) + dtau*(x1,y1,z1) with (x1,y1,z1) =
+K^{-1}(-c, b, h) precomputed once per factorization.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import cones, kkt, config
+from ..cones import ConeDims
+from .coneprog import (
+    RUNNING, OPTIMAL, UNKNOWN, PRIMAL_INFEASIBLE, DUAL_INFEASIBLE, SINGULAR,
+    _STATUS_STR, STEP, EXPON, Options, _resolve_options, _asarray, _relgap,
+    _max_feasible_step)
 
 
-def conelp(*args, **kwargs):
-    raise NotImplementedError
+def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
+           dualstart=None, kktsolver=None, options=None):
+    """Solve the cone LP pair (reference coneprog.py:31)
+
+        minimize  c'x                 maximize  -h'z - b'y
+        s.t.      G x + s = h         s.t.      G'z + A'y + c = 0
+                  A x = b                       z >= 0
+                  s >= 0
+
+    returning the reference's result dict including infeasibility
+    certificates: on 'primal infeasible', (y, z) certify h'z + b'y = -1,
+    G'z + A'y = 0, z >= 0; on 'dual infeasible', (x, s) certify c'x = -1,
+    Gx + s = 0, Ax = 0, s >= 0.
+    """
+    o, dtype, merged = _resolve_options(options)
+    c = _asarray(c, dtype, name="c")
+    n = c.shape[0]
+    if dims is None:
+        dims = ConeDims(l=int(np.asarray(h).size))
+    dims = ConeDims.from_dict(dims)
+    if dims.degree == 0:
+        raise ValueError("the cone must be nonempty")
+    h = _asarray(h, dtype, shape=(dims.size,), name="h")
+    b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
+        (0,), dtype)
+
+    G_is_op = callable(G)
+    A_is_op = A is not None and callable(A)
+    Ga = None if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
+                                       name="G")
+    Aa = (jnp.zeros((0, n), dtype) if A is None
+          else (None if A_is_op else _asarray(A, dtype, name="A")))
+
+    if kktsolver is None:
+        kktsolver = "qr" if (dims.q or dims.s) else "chol2"
+    if isinstance(kktsolver, str):
+        if G_is_op or A_is_op:
+            raise ValueError("operator-form G/A require a custom kktsolver")
+        factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, None,
+                                     reg=o.kktreg)
+    else:
+        factor = kktsolver
+
+    gmv = G if G_is_op else (lambda x, trans=False:
+                             (Ga.T @ x if trans else Ga @ x))
+    amv = A if A_is_op else (lambda x, trans=False:
+                             (Aa.T @ x if trans else Aa @ x))
+
+    ps = None
+    if primalstart is not None:
+        ps = (_asarray(primalstart["x"], dtype),
+              _asarray(primalstart["s"], dtype))
+    dst = None
+    if dualstart is not None:
+        dst = (_asarray(dualstart.get("y"), dtype)
+               if dualstart.get("y") is not None else jnp.zeros((0,), dtype),
+               _asarray(dualstart["z"], dtype))
+
+    return _conelp_solve(c, Ga, h, Aa, b, dims, o, factor, gmv, amv,
+                         dtype, ps, dst)
 
 
-def lp(*args, **kwargs):
-    raise NotImplementedError
+def _conelp_solve(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
+                  dtype, primalstart, dualstart):
+    n = c.shape[0]
+    p = b.shape[0]
+    deg = dims.degree
+    e = cones.cone_e(dims, dtype)
+
+    resx0 = jnp.maximum(1.0, jnp.linalg.norm(c))
+    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b)) if p else jnp.asarray(
+        1.0, dtype)
+    resz0 = jnp.maximum(1.0, cones.snrm2(dims, h))
+
+    def initial_point():
+        W0 = cones.identity_scaling(dims, dtype)
+        solve0 = factor(W0)
+        if primalstart is None:
+            x0, _, z0 = solve0(jnp.zeros((n,), dtype), b, h)
+            s0 = -z0
+            ts = cones.max_step(dims, s0)
+            s0 = jnp.where(ts >= -1e-8 * jnp.maximum(1.0, jnp.abs(ts)),
+                           s0 + (1.0 + ts) * e, s0)
+        else:
+            x0, s0 = primalstart
+        if dualstart is None:
+            x1, y0, z0 = solve0(-c, jnp.zeros((p,), dtype),
+                                jnp.zeros((dims.size,), dtype))
+            tz = cones.max_step(dims, z0)
+            z0 = jnp.where(tz >= -1e-8 * jnp.maximum(1.0, jnp.abs(tz)),
+                           z0 + (1.0 + tz) * e, z0)
+        else:
+            y0, z0 = dualstart
+        return x0, y0, s0, z0
+
+    def residuals(x, y, s, z, tau, kappa):
+        rx = gmv(z, trans=True) + (amv(y, trans=True) if p else 0.0) + c * tau
+        ry = amv(x) - b * tau if p else jnp.zeros((0,), dtype)
+        rz = gmv(x) + s - h * tau
+        rt = kappa + jnp.dot(c, x) + (jnp.dot(b, y) if p else 0.0) + \
+            cones.sdot(dims, h, z)
+        return rx, ry, rz, rt
+
+    def metrics_of(x, y, s, z, tau, kappa):
+        rx, ry, rz, rt = residuals(x, y, s, z, tau, kappa)
+        gap = cones.sdot(dims, s, z) / (tau * tau)
+        pcost = jnp.dot(c, x) / tau
+        dcost = -(cones.sdot(dims, h, z) +
+                  (jnp.dot(b, y) if p else 0.0)) / tau
+        pres = jnp.maximum(
+            (jnp.linalg.norm(ry) / resy0 if p else 0.0),
+            cones.snrm2(dims, rz) / resz0) / tau
+        dres = jnp.linalg.norm(rx) / resx0 / tau
+        # infeasibility certificates
+        hz_by = cones.sdot(dims, h, z) + (jnp.dot(b, y) if p else 0.0)
+        cx = jnp.dot(c, x)
+        # || G'z + A'y || / resx0 scaled by -1/(h'z+b'y) when h'z+b'y < 0
+        hrx = gmv(z, trans=True) + (amv(y, trans=True) if p else 0.0)
+        pinfres = jnp.where(
+            hz_by < 0.0, jnp.linalg.norm(hrx) / resx0 / (-hz_by), jnp.inf)
+        hry = amv(x) if p else jnp.zeros((0,), dtype)
+        hrz = gmv(x) + s
+        dinfres = jnp.where(
+            cx < 0.0,
+            jnp.maximum(jnp.linalg.norm(hry) / resy0 if p else 0.0,
+                        cones.snrm2(dims, hrz) / resz0) / (-cx),
+            jnp.inf)
+        return (rx, ry, rz, rt,
+                dict(pcost=pcost, dcost=dcost, gap=gap,
+                     relgap=_relgap(gap, pcost, dcost),
+                     pres=pres, dres=dres, pinfres=pinfres,
+                     dinfres=dinfres))
+
+    def f6_factory(solve, lmbda, W, tau, kappa):
+        # (x1,y1,z1) = K^{-1}(-c, b, h), once per factorization
+        x1, y1, z1 = solve(-c, b, h)
+        dg = jnp.dot(c, x1) + (jnp.dot(b, y1) if p else 0.0) + \
+            cones.sdot(dims, h, z1) - kappa / tau
+
+        def f6_no_ir(bx, by, bz, bt, d_s, d_k):
+            tmp = cones.sinv(dims, lmbda, d_s)
+            bzt = bz - cones.scale(dims, W, tmp, trans=True)
+            xt, yt, zt = solve(bx, by, bzt)
+            btt = bt - d_k / tau
+            num = btt - (jnp.dot(c, xt) + (jnp.dot(b, yt) if p else 0.0) +
+                         cones.sdot(dims, h, zt))
+            dtau = num / dg
+            dx = xt + dtau * x1
+            dy = yt + dtau * y1
+            dz = zt + dtau * z1
+            ds = cones.scale(dims, W,
+                             tmp - cones.scale(dims, W, dz), trans=True)
+            dk = (d_k - kappa * dtau) / tau
+            return dx, dy, dz, dtau, ds, dk
+
+        def f6(bx, by, bz, bt, d_s, d_k):
+            dx, dy, dz, dtau, ds, dk = f6_no_ir(bx, by, bz, bt, d_s, d_k)
+            for _ in range(o.refinement):
+                r1 = bx - (gmv(dz, trans=True) +
+                           (amv(dy, trans=True) if p else 0.0) + c * dtau)
+                r2 = by - (amv(dx) - b * dtau) if p else jnp.zeros((0,),
+                                                                  dtype)
+                r3 = bz - (gmv(dx) + ds - h * dtau)
+                r4 = bt - (jnp.dot(c, dx) + (jnp.dot(b, dy) if p else 0.0) +
+                           cones.sdot(dims, h, dz) + dk)
+                r5 = d_s - cones.sprod(
+                    dims, lmbda,
+                    cones.scale(dims, W, ds, trans=True, inverse=True) +
+                    cones.scale(dims, W, dz), diag=True)
+                r6 = d_k - (kappa * dtau + tau * dk)
+                ex, ey, ez, et, es, ek = f6_no_ir(r1, r2, r3, r4, r5, r6)
+                dx, dy, dz = dx + ex, dy + ey, dz + ez
+                dtau, ds, dk = dtau + et, ds + es, dk + ek
+            return dx, dy, dz, dtau, ds, dk
+
+        return f6
+
+    def body(carry):
+        x, y, s, z, tau, kappa, it, status, m = carry
+        rx, ry, rz, rt, m = metrics_of(x, y, s, z, tau, kappa)
+        if o.show_progress:
+            jax.debug.print(
+                "{it:2d}: {pc: .4e} {dc: .4e} {gap: .0e} {pr: .0e} "
+                "{dr: .0e} {kt: .0e}",
+                it=it, pc=m["pcost"], dc=m["dcost"], gap=m["gap"],
+                pr=m["pres"], dr=m["dres"], kt=kappa / tau)
+        converged = (m["pres"] <= o.feastol) & (m["dres"] <= o.feastol) & (
+            (m["gap"] <= o.abstol) | (jnp.isfinite(m["relgap"]) &
+                                      (m["relgap"] <= o.reltol)))
+        pinf = m["pinfres"] <= o.feastol
+        dinf = m["dinfres"] <= o.feastol
+        new_status = jnp.where(
+            converged, OPTIMAL,
+            jnp.where(pinf, PRIMAL_INFEASIBLE,
+                      jnp.where(dinf, DUAL_INFEASIBLE,
+                                jnp.where(it >= o.maxiters, UNKNOWN,
+                                          RUNNING)))).astype(jnp.int32)
+
+        def do_step(args):
+            x, y, s, z, tau, kappa = args
+            W, lmbda = cones.compute_scaling(dims, s, z)
+            solve = factor(W)
+            f6 = f6_factory(solve, lmbda, W, tau, kappa)
+            lmbdasq = cones.ssqr(dims, lmbda)
+            mu = (cones.sdot(dims, lmbda, lmbda) + tau * kappa) / (deg + 1)
+
+            # affine direction: sigma = 0, full residual rhs
+            dxa, dya, dza, dta, dsa, dka = f6(
+                -rx, -ry, -rz, -rt, -lmbdasq, -tau * kappa)
+            dsa_w = cones.scale(dims, W, dsa, trans=True, inverse=True)
+            dza_w = cones.scale(dims, W, dza)
+            t_cone = 1.0 / jnp.maximum(_inv_step(dims, lmbda, dsa_w, dza_w),
+                                       1e-30)
+            step_a = jnp.minimum(
+                1.0, jnp.minimum(t_cone, _tk_step(tau, kappa, dta, dka)))
+            sigma = jnp.clip(1.0 - step_a, 0.0, 1.0) ** EXPON
+
+            # combined direction
+            d_s = -lmbdasq - cones.sprod(dims, dsa_w, dza_w) + \
+                sigma * mu * e
+            d_k = -tau * kappa - dta * dka + sigma * mu
+            r = 1.0 - sigma
+            dx, dy, dz, dt, ds, dk = f6(
+                -r * rx, -r * ry, -r * rz, -r * rt, d_s, d_k)
+            ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
+            dz_w = cones.scale(dims, W, dz)
+            t_cone = 1.0 / jnp.maximum(_inv_step(dims, lmbda, ds_w, dz_w),
+                                       1e-30)
+            step = STEP * jnp.minimum(t_cone, _tk_step(tau, kappa, dt, dk))
+            step = jnp.minimum(step, 1.0)
+
+            xn, yn = x + step * dx, y + step * dy
+            sn, zn = s + step * ds, z + step * dz
+            tn, kn = tau + step * dt, kappa + step * dk
+            bad = ~jnp.isfinite(jnp.dot(xn, xn) + jnp.dot(sn, sn) +
+                                jnp.dot(zn, zn) + tn + kn) | (tn <= 0)
+            st = jnp.where(bad, jnp.int32(SINGULAR), jnp.int32(RUNNING))
+            pick = lambda new, old: jnp.where(bad, old, new)
+            return (pick(xn, x), pick(yn, y), pick(sn, s), pick(zn, z),
+                    pick(tn, tau), pick(kn, kappa), st)
+
+        def no_step(args):
+            x, y, s, z, tau, kappa = args
+            return x, y, s, z, tau, kappa, new_status
+
+        xn, yn, sn, zn, tn, kn, st = jax.lax.cond(
+            new_status == RUNNING, do_step, no_step,
+            (x, y, s, z, tau, kappa))
+        return xn, yn, sn, zn, tn, kn, it + 1, st, m
+
+    def cond(carry):
+        return carry[7] == RUNNING
+
+    x0, y0, s0, z0 = initial_point()
+    tau0 = jnp.asarray(1.0, dtype)
+    kappa0 = jnp.asarray(1.0, dtype)
+    _, _, _, _, m0 = metrics_of(x0, y0, s0, z0, tau0, kappa0)
+    carry0 = (x0, y0, s0, z0, tau0, kappa0, jnp.int32(0),
+              jnp.int32(RUNNING), m0)
+    x, y, s, z, tau, kappa, it, status, m = jax.lax.while_loop(
+        cond, body, carry0)
+    status = int(status)
+    iterations = int(it) - 1
+
+    # scale the returned iterates per the reference's conventions
+    res = {"status": _STATUS_STR.get(status, "unknown"),
+           "iterations": iterations}
+    relgap = float(m["relgap"])
+    pinfres = float(m["pinfres"])
+    dinfres = float(m["dinfres"])
+    metrics = {
+        "primal objective": float(m["pcost"]),
+        "dual objective": float(m["dcost"]),
+        "gap": float(m["gap"]),
+        "relative gap": relgap if math.isfinite(relgap) else None,
+        "primal infeasibility": float(m["pres"]),
+        "dual infeasibility": float(m["dres"]),
+        "residual as primal infeasibility certificate":
+            pinfres if math.isfinite(pinfres) else None,
+        "residual as dual infeasibility certificate":
+            dinfres if math.isfinite(dinfres) else None,
+    }
+    if status == PRIMAL_INFEASIBLE:
+        hz_by = float(cones.sdot(dims, h, z) +
+                      (jnp.dot(b, y) if p else 0.0))
+        scale_cert = -1.0 / hz_by
+        res.update(x=None, s=None, y=y * scale_cert, z=z * scale_cert)
+        metrics.update({"primal objective": None, "gap": None,
+                        "relative gap": None,
+                        "dual objective": 1.0,
+                        "primal infeasibility": None,
+                        "dual infeasibility": None,
+                        "primal slack": None,
+                        "dual slack": -float(cones.max_step(
+                            dims, z * scale_cert))})
+    elif status == DUAL_INFEASIBLE:
+        cx = float(jnp.dot(c, x))
+        scale_cert = -1.0 / cx
+        res.update(x=x * scale_cert, s=s * scale_cert, y=None, z=None)
+        metrics.update({"dual objective": None, "gap": None,
+                        "relative gap": None,
+                        "primal objective": -1.0,
+                        "primal infeasibility": None,
+                        "dual infeasibility": None,
+                        "dual slack": None,
+                        "primal slack": -float(cones.max_step(
+                            dims, s * scale_cert))})
+    else:
+        tauf = float(tau)
+        res.update(x=x / tauf, s=s / tauf, y=y / tauf, z=z / tauf)
+        metrics["primal slack"] = -float(cones.max_step(dims, s)) / tauf
+        metrics["dual slack"] = -float(cones.max_step(dims, z)) / tauf
+    res.update(metrics)
+    return res
 
 
-def socp(*args, **kwargs):
-    raise NotImplementedError
+def _inv_step(dims, lmbda, ds_w, dz_w):
+    """max(ts, tz, 0): reciprocal of the max feasible cone step."""
+    ts = cones.max_step(dims, cones.scale2(dims, lmbda, ds_w))
+    tz = cones.max_step(dims, cones.scale2(dims, lmbda, dz_w))
+    return jnp.maximum(jnp.maximum(ts, tz), 0.0)
 
 
-def sdp(*args, **kwargs):
-    raise NotImplementedError
+def _tk_step(tau, kappa, dt, dk):
+    """max feasible step keeping tau, kappa > 0."""
+    t_tau = jnp.where(dt < 0, -tau / dt, jnp.inf)
+    t_kap = jnp.where(dk < 0, -kappa / dk, jnp.inf)
+    return jnp.minimum(t_tau, t_kap)
+
+
+# ---------------------------------------------------------------------------
+# Natural-form wrappers (reference coneprog.py lp:2550, socp:3044, sdp:3597)
+# ---------------------------------------------------------------------------
+
+
+def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
+       dualstart=None, kktsolver=None, options=None):
+    """LP: minimize c'x s.t. Gx <= h, Ax = b.  `solver` accepts None
+    (native conelp) or 'glpk' (bridged, see kvxopt_tpu.glpk)."""
+    if solver == "glpk":
+        from .. import glpk
+        return glpk.lp_bridge(c, G, h, A, b, options=options)
+    h = np.asarray(h, dtype=float).reshape(-1)
+    return conelp(c, G, h, {"l": h.shape[0]}, A, b,
+                  primalstart=primalstart, dualstart=dualstart,
+                  kktsolver=kktsolver, options=options)
+
+
+def socp(c, Gl=None, hl=None, Gq=None, hq=None, A=None, b=None,
+         solver=None, primalstart=None, dualstart=None, kktsolver=None,
+         options=None):
+    """SOCP in natural form: minimize c'x s.t. Gl x <= hl,
+    ||Gq[k] x + hq[k]||_2-style SOC constraints (reference packing:
+    zq[k] = (z0, z1) with Gq[k]'... coneprog.py:3044)."""
+    c = np.asarray(c, dtype=float).reshape(-1)
+    Gs, hs, ql = [], [], []
+    l = 0
+    if Gl is not None:
+        Gl = np.asarray(Gl, dtype=float)
+        hl = np.asarray(hl, dtype=float).reshape(-1)
+        Gs.append(Gl.reshape(len(hl), -1))
+        hs.append(hl)
+        l = len(hl)
+    Gq = Gq or []
+    hq = hq or []
+    for Gk, hk in zip(Gq, hq):
+        Gk = np.asarray(Gk, dtype=float)
+        hk = np.asarray(hk, dtype=float).reshape(-1)
+        Gs.append(Gk.reshape(len(hk), -1))
+        hs.append(hk)
+        ql.append(len(hk))
+    G = np.vstack(Gs)
+    h = np.concatenate(hs)
+    dims = ConeDims(l=l, q=tuple(ql))
+    sol = conelp(c, G, h, dims, A, b, primalstart=primalstart,
+                 dualstart=dualstart, kktsolver=kktsolver, options=options)
+    # split multipliers back into natural blocks
+    sol = dict(sol)
+    z, s = sol.get("z"), sol.get("s")
+    if z is not None:
+        zl = np.asarray(z)[:l]
+        zq = []
+        ofs = l
+        for m in ql:
+            zq.append(np.asarray(z)[ofs:ofs + m])
+            ofs += m
+        sol["zl"], sol["zq"] = zl, zq
+    if s is not None:
+        sl = np.asarray(s)[:l]
+        sq = []
+        ofs = l
+        for m in ql:
+            sq.append(np.asarray(s)[ofs:ofs + m])
+            ofs += m
+        sol["sl"], sol["sq"] = sl, sq
+    return sol
+
+
+def sdp(c, Gl=None, hl=None, Gs=None, hs=None, A=None, b=None,
+        solver=None, primalstart=None, dualstart=None, kktsolver=None,
+        options=None):
+    """SDP in natural form: minimize c'x s.t. Gl x <= hl and
+    sum_i x_i (Gs[k] column i, reshaped) <= hs[k] in the PSD order
+    (reference coneprog.py:3597; Gs[k] columns are vectorized coefficient
+    matrices, hs[k] square matrices)."""
+    c = np.asarray(c, dtype=float).reshape(-1)
+    Gparts, hparts, sl = [], [], []
+    l = 0
+    if Gl is not None:
+        Gl = np.asarray(Gl, dtype=float)
+        hl = np.asarray(hl, dtype=float).reshape(-1)
+        Gparts.append(Gl.reshape(len(hl), -1))
+        hparts.append(hl)
+        l = len(hl)
+    Gs = Gs or []
+    hs = hs or []
+    for Gk, hk in zip(Gs, hs):
+        Gk = np.asarray(Gk, dtype=float)
+        hk = np.asarray(hk, dtype=float)
+        m = hk.shape[0]
+        Gparts.append(Gk.reshape(m * m, -1))
+        hparts.append(hk.reshape(-1))
+        sl.append(m)
+    G = np.vstack(Gparts)
+    h = np.concatenate(hparts)
+    dims = ConeDims(l=l, s=tuple(sl))
+    sol = conelp(c, G, h, dims, A, b, primalstart=primalstart,
+                 dualstart=dualstart, kktsolver=kktsolver, options=options)
+    sol = dict(sol)
+    z, s = sol.get("z"), sol.get("s")
+    for key, vec in (("z", z), ("s", s)):
+        if vec is None:
+            continue
+        v = np.asarray(vec)
+        sol[key + "l"] = v[:l]
+        blocks = []
+        ofs = l
+        for m in sl:
+            blocks.append(v[ofs:ofs + m * m].reshape(m, m))
+            ofs += m * m
+        sol[key + "s"] = blocks
+    return sol
