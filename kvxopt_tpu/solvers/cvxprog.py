@@ -1,13 +1,387 @@
-"""Nonlinear convex solvers cp/cpl/gp (implementation in progress)."""
+"""Nonlinear convex optimization: cpl, cp, gp.
+
+Reference semantics: src/python/cvxprog.py (cpl :35, cp :1359, gp :1967).
+cpl solves
+
+    minimize    c'x
+    subject to  f(x) <= 0        (mnl smooth convex constraints)
+                G x + s = h, s in K
+                A x = b
+
+given the reference's oracle contract (cvxprog.py:68-110):
+
+    F()      -> (mnl, x0)
+    F(x)     -> (f, Df)          (None/NaN if x outside the domain)
+    F(x, z)  -> (f, Df, H)       with H = sum_i z_i * d2f_i(x)
+
+The nonlinear multipliers are scaled exactly like extra 'l' entries (the
+reference's 'dnl' blocks), so the cone machinery is reused with
+dims.with_extra_l(mnl).  The TPU-native twist: `oracle_from_function`
+builds the full (f, Df, H) contract from a plain JAX function via autodiff
+(jacfwd/hessian) — the reference's hand-coded derivative contract becomes
+optional.  gp's log-sum-exp oracle is hand-coded (softmax gradient,
+diag(w) - ww' Hessian) for MXU efficiency.
+
+The outer loop runs eagerly (Python) because each iteration re-linearizes
+the oracle; every inner operation (scaling, KKT factor/solve, cone ops) is
+jitted jax.  Mehrotra predictor-corrector with a domain/safeguard
+backtracking line search replaces the reference's relaxed backtracking
+(cvxprog.py:1126-1200) — same role: keep x in dom f and the merit residual
+decreasing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import cones, kkt, config
+from ..cones import ConeDims
+from .coneprog import (
+    RUNNING, OPTIMAL, UNKNOWN, SINGULAR, _STATUS_STR, STEP, EXPON,
+    Options, _resolve_options, _asarray, _relgap)
 
 
-def cp(*args, **kwargs):
-    raise NotImplementedError
+def oracle_from_function(f, x0, mnl=None):
+    """Build a cpl/cp oracle from a plain JAX function f(x) -> vector of
+    constraint values.  Derivatives via autodiff."""
+    x0 = jnp.asarray(x0, dtype=config.default_dtype)
+    fx0 = f(x0)
+    m = int(fx0.shape[0]) if fx0.ndim else 1
+    fv = (lambda x: jnp.atleast_1d(f(x)))
+    jac = jax.jacfwd(fv)
+
+    def oracle(x=None, z=None):
+        if x is None:
+            return m, x0
+        x = jnp.asarray(x)
+        val, Df = fv(x), jac(x)
+        if z is None:
+            return val, Df
+        z = jnp.asarray(z)
+        H = jax.hessian(lambda xx: jnp.dot(z, fv(xx)))(x)
+        return val, Df, H
+
+    return oracle
 
 
-def cpl(*args, **kwargs):
-    raise NotImplementedError
+def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
+        options=None):
+    """Nonlinear cone program with linear objective (reference
+    cvxprog.py:35)."""
+    o, dtype, merged = _resolve_options(options)
+    c = _asarray(c, dtype, name="c")
+    n = c.shape[0]
+    mnl, x0 = F()
+    mnl = int(mnl)
+    x0 = _asarray(x0, dtype, name="x0")
+
+    if dims is None:
+        dims = ConeDims(l=0 if h is None else int(np.asarray(h).size))
+    dims = ConeDims.from_dict(dims)
+    if G is None:
+        G = jnp.zeros((dims.size, n), dtype)
+        h = jnp.zeros((dims.size,), dtype)
+    Ga = _asarray(G, dtype, shape=(dims.size, n), name="G")
+    h = _asarray(h, dtype, shape=(dims.size,), name="h")
+    Aa = _asarray(A, dtype, name="A") if A is not None else jnp.zeros(
+        (0, n), dtype)
+    b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
+        (0,), dtype)
+    p = b.shape[0]
+
+    edims = dims.with_extra_l(mnl)
+    edeg = edims.degree
+    e = cones.cone_e(edims, dtype)
+
+    if kktsolver is None:
+        kktsolver = "chol" if (dims.q or dims.s) else "chol2"
+    if isinstance(kktsolver, str):
+        factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, None,
+                                     mnl=mnl, reg=o.kktreg)
+    else:
+        factor = kktsolver
+
+    def feval(x, z=None):
+        out = F(x) if z is None else F(x, z)
+        if out is None or out[0] is None:
+            return None
+        if z is None:
+            f, Df = out
+            return (jnp.atleast_1d(_asarray(f, dtype)),
+                    jnp.atleast_2d(_asarray(Df, dtype, name="Df")))
+        f, Df, H = out
+        return (jnp.atleast_1d(_asarray(f, dtype)),
+                jnp.atleast_2d(_asarray(Df, dtype, name="Df")),
+                _asarray(H, dtype, name="H"))
+
+    def geff_mv(Df, v, trans=False):
+        if trans:
+            return Df.T @ v[:mnl] + Ga.T @ v[mnl:]
+        return jnp.concatenate([Df @ v, Ga @ v])
+
+    # initial point (reference cvxprog.py: x = x0, s/z = identity-ish)
+    x = x0
+    y = jnp.zeros((p,), dtype)
+    s = e.copy()
+    z = e.copy()
+
+    out0 = feval(x)
+    if out0 is None:
+        raise ValueError("x0 must be in the domain of f")
+
+    resx0 = jnp.maximum(1.0, jnp.linalg.norm(c))
+    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
+    f0, Df0 = out0
+    resz0 = jnp.maximum(1.0, cones.snrm2(
+        edims, jnp.concatenate([f0 * 0 + 1.0, h])))
+
+    status = UNKNOWN
+    metrics = {}
+    iters_done = 0
+
+    for it in range(o.maxiters + 1):
+        f, Df = feval(x)
+        rx = c + geff_mv(Df, z, trans=True) + (Aa.T @ y if p else 0.0)
+        ry = Aa @ x - b
+        rznl = s[:mnl] + f
+        rzl = s[mnl:] + Ga @ x - h
+        rz = jnp.concatenate([rznl, rzl])
+        gap = cones.sdot(edims, s, z)
+
+        pcost = jnp.dot(c, x)
+        dcost = pcost + (jnp.dot(y, ry) if p else 0.0) + \
+            cones.sdot(edims, z, rz) - gap
+        relgap = _relgap(gap, pcost, dcost)
+        pres = jnp.maximum(jnp.linalg.norm(ry) / resy0 if p else 0.0,
+                           cones.snrm2(edims, rz) / resz0)
+        dres = jnp.linalg.norm(rx) / resx0
+
+        if o.show_progress:
+            print(f"{it:2d}: {float(pcost): .4e} {float(dcost): .4e} "
+                  f"{float(gap): .0e} {float(pres): .0e} "
+                  f"{float(dres): .0e}")
+
+        metrics = dict(pcost=float(pcost), dcost=float(dcost),
+                       gap=float(gap), relgap=float(relgap),
+                       pres=float(pres), dres=float(dres))
+        iters_done = it
+        if (pres <= o.feastol and dres <= o.feastol and
+                (gap <= o.abstol or
+                 (math.isfinite(float(relgap)) and relgap <= o.reltol))):
+            status = OPTIMAL
+            break
+        if it == o.maxiters:
+            status = UNKNOWN
+            break
+
+        _, _, H = feval(x, z[:mnl])
+        W, lmbda = cones.compute_scaling(edims, s, z)
+        try:
+            solve = factor(W, H=H, Df=Df)
+        except Exception:
+            status = SINGULAR
+            break
+        lmbdasq = cones.ssqr(edims, lmbda)
+        mu = gap / edeg
+
+        def newton(d_target):
+            tmp = cones.sinv(edims, lmbda, d_target)
+            bz = -rz - cones.scale(edims, W, tmp, trans=True)
+            dx, dy, dz = solve(-rx, -ry, bz)
+            for _ in range(o.refinement):
+                r1 = -rx - (H @ dx + (Aa.T @ dy if p else 0.0) +
+                            geff_mv(Df, dz, trans=True))
+                r2 = -ry - Aa @ dx
+                wtwdz = cones.scale(edims, W,
+                                    cones.scale(edims, W, dz), trans=True)
+                r3 = bz - (geff_mv(Df, dx) - wtwdz)
+                ex, ey, ez = solve(r1, r2, r3)
+                dx, dy, dz = dx + ex, dy + ey, dz + ez
+            ds = cones.scale(edims, W,
+                             tmp - cones.scale(edims, W, dz), trans=True)
+            return dx, dy, dz, ds
+
+        dxa, dya, dza, dsa = newton(-lmbdasq)
+        dsa_w = cones.scale(edims, W, dsa, trans=True, inverse=True)
+        dza_w = cones.scale(edims, W, dza)
+        ts = cones.max_step(edims, cones.scale2(edims, lmbda, dsa_w))
+        tz = cones.max_step(edims, cones.scale2(edims, lmbda, dza_w))
+        t = float(jnp.maximum(jnp.maximum(ts, tz), 0.0))
+        step_a = 1.0 if t <= 0 else min(1.0, 1.0 / t)
+        mu_aff = float(cones.sdot(edims, s + step_a * dsa,
+                                  z + step_a * dza)) / edeg
+        sigma = min(1.0, max(0.0, mu_aff / float(mu))) ** EXPON
+
+        d_c = -lmbdasq - cones.sprod(edims, dsa_w, dza_w) + \
+            sigma * mu * e
+        dx, dy, dz, ds = newton(d_c)
+        ds_w = cones.scale(edims, W, ds, trans=True, inverse=True)
+        dz_w = cones.scale(edims, W, dz)
+        ts = cones.max_step(edims, cones.scale2(edims, lmbda, ds_w))
+        tz = cones.max_step(edims, cones.scale2(edims, lmbda, dz_w))
+        t = float(jnp.maximum(jnp.maximum(ts, tz), 0.0))
+        step = 1.0 if t <= 0 else min(1.0, STEP / t)
+
+        # domain / safeguard backtracking (role of the reference's relaxed
+        # line search, cvxprog.py:1126-1200)
+        res_norm = float(jnp.linalg.norm(rx)) + float(
+            cones.snrm2(edims, rz)) + (float(jnp.linalg.norm(ry))
+                                       if p else 0.0)
+        ok = False
+        for _ in range(30):
+            xn = x + step * dx
+            outn = feval(xn)
+            if outn is not None and bool(jnp.all(jnp.isfinite(outn[0]))):
+                fn_, Dfn_ = outn
+                sn = s + step * ds
+                zn = z + step * dz
+                yn = y + step * dy
+                rxn = c + geff_mv(Dfn_, zn, trans=True) + (
+                    Aa.T @ yn if p else 0.0)
+                rzn = jnp.concatenate(
+                    [sn[:mnl] + fn_, sn[mnl:] + Ga @ xn - h])
+                newres = float(jnp.linalg.norm(rxn)) + float(
+                    cones.snrm2(edims, rzn)) + (
+                    float(jnp.linalg.norm(Aa @ xn - b)) if p else 0.0)
+                gapn = float(cones.sdot(edims, sn, zn))
+                if math.isfinite(newres) and gapn > 0 and (
+                        newres <= 2.0 * res_norm + 1e-8 or
+                        gapn <= 0.9 * float(gap)):
+                    ok = True
+                    break
+            step *= 0.5
+        if not ok:
+            status = UNKNOWN
+            break
+        x, y, s, z = xn, yn, sn, zn
+
+    snl, sl = s[:mnl], s[mnl:]
+    znl, zl = z[:mnl], z[mnl:]
+    relgap = metrics.get("relgap", float("inf"))
+    return {
+        "status": _STATUS_STR.get(status, "unknown"),
+        "x": x, "y": y, "snl": snl, "sl": sl, "znl": znl, "zl": zl,
+        "primal objective": metrics.get("pcost"),
+        "dual objective": metrics.get("dcost"),
+        "gap": metrics.get("gap"),
+        "relative gap": relgap if math.isfinite(relgap) else None,
+        "primal infeasibility": metrics.get("pres"),
+        "dual infeasibility": metrics.get("dres"),
+        "primal slack": -float(cones.max_step(edims, s)),
+        "dual slack": -float(cones.max_step(edims, z)),
+        "iterations": iters_done,
+    }
 
 
-def gp(*args, **kwargs):
-    raise NotImplementedError
+def cp(F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
+       options=None):
+    """Nonlinear objective: minimize f0(x) s.t. f_k(x) <= 0, Gx + s = h,
+    Ax = b, via the epigraph transform onto cpl (reference
+    cvxprog.py:1359,1767-1958).  F's value vector has mnl+1 entries with f0
+    first."""
+    o, dtype, merged = _resolve_options(options)
+    mnl, x0 = F()
+    mnl = int(mnl)
+    x0 = _asarray(x0, dtype, name="x0")
+    n = x0.shape[0]
+
+    f0 = F(x0)
+    if f0 is None or f0[0] is None:
+        raise ValueError("x0 must be in the domain of f")
+    t0 = float(jnp.atleast_1d(jnp.asarray(f0[0]))[0]) + 1.0
+
+    def F_e(xe=None, z=None):
+        if xe is None:
+            return mnl + 1, jnp.concatenate(
+                [x0, jnp.asarray([t0], dtype)])
+        x, t = xe[:n], xe[n]
+        out = F(x) if z is None else F(x, z)
+        if out is None or out[0] is None:
+            return None
+        if z is None:
+            f, Df = out[0], out[1]
+        else:
+            f, Df, H = out
+        f = jnp.atleast_1d(jnp.asarray(f, dtype))
+        Df = jnp.atleast_2d(jnp.asarray(Df, dtype))
+        fe = f.at[0].add(-t)
+        col = jnp.zeros((mnl + 1, 1), dtype).at[0, 0].set(-1.0)
+        Dfe = jnp.concatenate([Df, col], axis=1)
+        if z is None:
+            return fe, Dfe
+        He = jnp.zeros((n + 1, n + 1), dtype).at[:n, :n].set(
+            jnp.asarray(H, dtype))
+        return fe, Dfe, He
+
+    if dims is None:
+        dims = ConeDims(l=0 if h is None else int(np.asarray(h).size))
+    dims = ConeDims.from_dict(dims)
+    if G is not None:
+        Ga = np.asarray(G, dtype=float).reshape(dims.size, n)
+        G_e = np.concatenate([Ga, np.zeros((dims.size, 1))], axis=1)
+    else:
+        G_e = None
+    if A is not None:
+        Aa = np.asarray(A, dtype=float)
+        A_e = np.concatenate([Aa, np.zeros((Aa.shape[0], 1))], axis=1)
+    else:
+        A_e = None
+    c_e = np.zeros(n + 1)
+    c_e[n] = 1.0
+    sol = cpl(c_e, F_e, G_e, h, dims, A_e, b, kktsolver=kktsolver,
+              options=merged)
+    sol = dict(sol)
+    xe = sol["x"]
+    sol["x"] = xe[:n]
+    return sol
+
+
+def gp(K, F, g, G=None, h=None, A=None, b=None, kktsolver=None,
+       options=None):
+    """Geometric program in convex (log-sum-exp) form (reference
+    cvxprog.py:1967): minimize lse(F_0 x + g_0) s.t. lse(F_i x + g_i) <= 0,
+    Gx <= h, Ax = b, where F's rows are partitioned by K.
+
+    The oracle is the hand-coded log-sum-exp contract of the reference
+    (cvxprog.py:2102-2154): value via max-shifted lse, gradient F_i'w with
+    softmax weights w, Hessian F_i'(diag(w) - ww')F_i."""
+    K = [int(k) for k in K]
+    Fm = jnp.asarray(np.asarray(F, dtype=float))
+    gv = jnp.asarray(np.asarray(g, dtype=float).reshape(-1))
+    n = Fm.shape[1]
+    if Fm.shape[0] != sum(K) or gv.shape[0] != sum(K):
+        raise ValueError("rows of F and g must equal sum(K)")
+    mnl = len(K) - 1
+    ofs = np.concatenate([[0], np.cumsum(K)]).astype(int)
+
+    def F_gp(x=None, z=None):
+        if x is None:
+            return mnl, jnp.zeros((n,), Fm.dtype)
+        x = jnp.asarray(x, Fm.dtype)
+        y = Fm @ x + gv
+        vals, grads, hesss = [], [], []
+        for i in range(mnl + 1):
+            yi = y[ofs[i]:ofs[i + 1]]
+            Fi = Fm[ofs[i]:ofs[i + 1], :]
+            ymax = jnp.max(yi)
+            w = jnp.exp(yi - ymax)
+            tot = jnp.sum(w)
+            vals.append(ymax + jnp.log(tot))
+            w = w / tot
+            grads.append(Fi.T @ w)
+            if z is not None:
+                Fw = Fi * w[:, None]
+                Hi = Fi.T @ Fw - jnp.outer(Fi.T @ w, Fi.T @ w)
+                hesss.append(Hi)
+        f = jnp.stack(vals)
+        Df = jnp.stack(grads)
+        if z is None:
+            return f, Df
+        H = sum(jnp.asarray(z)[i] * hesss[i] for i in range(mnl + 1))
+        return f, Df, H
+
+    return cp(F_gp, G, h, None, A, b, kktsolver=kktsolver, options=options)

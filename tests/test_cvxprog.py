@@ -1,0 +1,161 @@
+"""cp/cpl/gp nonlinear solvers."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from kvxopt_tpu.solvers import cp, cpl, gp
+from kvxopt_tpu.solvers.cvxprog import oracle_from_function
+
+
+def test_cp_unconstrained_quadratic():
+    # minimize (x-1)^2 + (y-2)^2
+    def F(x=None, z=None):
+        if x is None:
+            return 0, jnp.zeros(2)
+        f = jnp.array([(x[0] - 1.0) ** 2 + (x[1] - 2.0) ** 2])
+        Df = jnp.array([[2 * (x[0] - 1.0), 2 * (x[1] - 2.0)]])
+        if z is None:
+            return f, Df
+        H = z[0] * 2.0 * jnp.eye(2)
+        return f, Df, H
+
+    sol = cp(F)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [1.0, 2.0], atol=1e-4)
+
+
+def test_cp_log_barrier_domain():
+    # minimize -log(x) + x  -> x* = 1, f* = 1 (domain x > 0)
+    def F(x=None, z=None):
+        if x is None:
+            return 0, jnp.array([0.5])
+        f = jnp.array([-jnp.log(x[0]) + x[0]])
+        Df = jnp.array([[-1.0 / x[0] + 1.0]])
+        if z is None:
+            return f, Df
+        return f, Df, z[0] * jnp.array([[1.0 / x[0] ** 2]])
+
+    sol = cp(F)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [1.0], atol=1e-5)
+    np.testing.assert_allclose(sol["primal objective"], 1.0, atol=1e-5)
+
+
+def test_cpl_linear_objective_nonlinear_constraint():
+    # minimize -x - y  s.t. x^2 + y^2 <= 1  -> x = y = 1/sqrt(2)
+    c = np.array([-1.0, -1.0])
+
+    def F(x=None, z=None):
+        if x is None:
+            return 1, jnp.zeros(2)
+        f = jnp.array([x[0] ** 2 + x[1] ** 2 - 1.0])
+        Df = jnp.array([[2 * x[0], 2 * x[1]]])
+        if z is None:
+            return f, Df
+        return f, Df, z[0] * 2.0 * jnp.eye(2)
+
+    sol = cpl(c, F)
+    assert sol["status"] == "optimal"
+    r = 1.0 / np.sqrt(2.0)
+    np.testing.assert_allclose(np.asarray(sol["x"]), [r, r], atol=1e-5)
+
+
+def test_cpl_with_linear_cone_constraints():
+    # minimize -x - y s.t. x^2 + y^2 <= 1, y <= 0.5
+    c = np.array([-1.0, -1.0])
+
+    def F(x=None, z=None):
+        if x is None:
+            return 1, jnp.zeros(2)
+        f = jnp.array([x[0] ** 2 + x[1] ** 2 - 1.0])
+        Df = jnp.array([[2 * x[0], 2 * x[1]]])
+        if z is None:
+            return f, Df
+        return f, Df, z[0] * 2.0 * jnp.eye(2)
+
+    G = np.array([[0.0, 1.0]])
+    h = np.array([0.5])
+    sol = cpl(c, F, G, h)
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])
+    np.testing.assert_allclose(x[1], 0.5, atol=1e-5)
+    np.testing.assert_allclose(x[0], np.sqrt(1 - 0.25), atol=1e-5)
+
+
+def test_oracle_from_function():
+    # same circle problem via autodiff oracle
+    c = np.array([-1.0, -1.0])
+    F = oracle_from_function(
+        lambda x: jnp.array([x[0] ** 2 + x[1] ** 2 - 1.0]), np.zeros(2))
+    sol = cpl(c, F)
+    assert sol["status"] == "optimal"
+    r = 1.0 / np.sqrt(2.0)
+    np.testing.assert_allclose(np.asarray(sol["x"]), [r, r], atol=1e-5)
+
+
+def test_gp_symmetric():
+    # minimize e^x + e^-x (log form) -> x = 0, value log 2
+    K = [2]
+    F = np.array([[1.0], [-1.0]])
+    g = np.zeros(2)
+    sol = gp(K, F, g)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [0.0], atol=1e-5)
+    np.testing.assert_allclose(sol["primal objective"], np.log(2.0),
+                               atol=1e-5)
+
+
+def test_gp_constrained():
+    # minimize x + y s.t. e^-x + e^-y <= 1  -> x = y = log 2
+    K = [1, 2]
+    F = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    g = np.zeros(3)
+    sol = gp(K, F, g)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [np.log(2.0), np.log(2.0)], atol=1e-5)
+
+
+def test_gp_box_volume():
+    # the userguide gp example (doc/source/solvers.rst): maximize box
+    # volume h*w*d with wall/floor area and aspect-ratio limits.
+    Aflr, Awall = 1000.0, 100.0
+    alpha, beta, gamma, delta = 0.5, 2.0, 0.5, 2.0
+    # variables (log h, log w, log d)
+    K = [1, 2, 1, 1, 1, 1]
+    Fm = np.array([
+        [-1.0, -1.0, -1.0],   # objective: minimize -log(hwd)
+        [1.0, 1.0, 0.0],      # (2/Awall) hw
+        [1.0, 0.0, 1.0],      # (2/Awall) hd
+        [0.0, 1.0, 1.0],      # (1/Aflr) wd
+        [-1.0, 1.0, 0.0],     # alpha w/h <= ... h/w >= alpha: alpha*w/h<=1
+        [1.0, -1.0, 0.0],     # h/(beta w) <= 1
+        [0.0, -1.0, 1.0],     # gamma d/w ... w/d bounds
+    ])
+    g = np.log(np.array([1.0, 2.0 / Awall, 2.0 / Awall, 1.0 / Aflr,
+                         alpha, 1.0 / beta, gamma]))
+    # merge rows per block: K = [1, 2, 1, 1, 1, 1] -> F rows 7? fix: last
+    # aspect constraint only one-sided here for simplicity.
+    sol = gp(K, Fm, g)
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])
+    h, w, d = np.exp(x)
+    assert 2 * (h * w + h * d) <= Awall * (1 + 1e-6)
+    assert w * d <= Aflr * (1 + 1e-6)
+    # oracle check with scipy on the log-domain convex form
+    from scipy.optimize import minimize
+
+    def obj(v):
+        return -(v[0] + v[1] + v[2])
+
+    cons = [
+        {"type": "ineq", "fun": lambda v: -np.log(
+            np.exp(v[0] + v[1] + np.log(2 / Awall)) +
+            np.exp(v[0] + v[2] + np.log(2 / Awall)))},
+        {"type": "ineq", "fun": lambda v: -(v[1] + v[2] + np.log(1 / Aflr))},
+        {"type": "ineq", "fun": lambda v: -(-v[0] + v[1] + np.log(alpha))},
+        {"type": "ineq", "fun": lambda v: -(v[0] - v[1] + np.log(1 / beta))},
+        {"type": "ineq", "fun": lambda v: -(-v[1] + v[2] + np.log(gamma))},
+    ]
+    ref = minimize(obj, np.zeros(3), constraints=cons, method="SLSQP")
+    np.testing.assert_allclose(sol["primal objective"], ref.fun, atol=1e-4)
