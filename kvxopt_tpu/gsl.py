@@ -1,0 +1,68 @@
+"""Random matrix generators (reference src/C/gsl.c: normal / uniform /
+weibull / setseed / getseed).
+
+The reference wraps GSL's Mersenne generator; here the generators are
+jax.random (threefry) driven — deterministic, splittable, and identical on
+CPU/TPU — returning dense `matrix` objects for facade parity and raw jax
+arrays via the *_jax variants.
+"""
+
+import numpy as np
+import jax
+
+from . import config
+from .base import matrix
+
+_seed = 0
+_key = jax.random.PRNGKey(0)
+
+
+def setseed(value=0):
+    """Set the RNG seed (reference gsl.c setseed)."""
+    global _seed, _key
+    _seed = int(value)
+    _key = jax.random.PRNGKey(_seed)
+
+
+def getseed():
+    """Return the current seed (reference gsl.c getseed)."""
+    return _seed
+
+
+def _next_key():
+    global _key
+    _key, sub = jax.random.split(_key)
+    return sub
+
+
+def normal_jax(nrows, ncols=1, mean=0.0, std=1.0):
+    return mean + std * jax.random.normal(
+        _next_key(), (nrows, ncols), dtype=config.default_dtype)
+
+
+def uniform_jax(nrows, ncols=1, a=0.0, b=1.0):
+    return jax.random.uniform(_next_key(), (nrows, ncols),
+                              dtype=config.default_dtype, minval=a, maxval=b)
+
+
+def weibull_jax(nrows, ncols=1, a=1.0, b=1.0):
+    # inverse-CDF sampling: X = b * (-log(1-U))^{1/a}
+    u = jax.random.uniform(_next_key(), (nrows, ncols),
+                           dtype=config.default_dtype)
+    import jax.numpy as jnp
+    return b * (-jnp.log1p(-u)) ** (1.0 / a)
+
+
+def normal(nrows, ncols=1, mean=0.0, std=1.0):
+    """nrows-by-ncols matrix of N(mean, std^2) samples."""
+    return matrix(np.asarray(normal_jax(nrows, ncols, mean, std)))
+
+
+def uniform(nrows, ncols=1, a=0.0, b=1.0):
+    """nrows-by-ncols matrix of U[a, b) samples."""
+    return matrix(np.asarray(uniform_jax(nrows, ncols, a, b)))
+
+
+def weibull(nrows, ncols=1, a=1.0, b=1.0):
+    """nrows-by-ncols matrix of Weibull(a, b) samples."""
+    return matrix(np.asarray(weibull_jax(nrows, ncols, a, b)))

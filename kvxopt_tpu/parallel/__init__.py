@@ -1,0 +1,14 @@
+"""Parallel scale-out: scenario batching (vmap/pjit over problem
+instances) and sharded KKT linear algebra over a device mesh.
+
+The reference has no distributed runtime (SURVEY.md section 2.3); its only
+parallelism is BLAS threading.  The TPU-native equivalent introduced here:
+
+- `batch`: many independent IPMs at once — vmap over the pure coneqp core,
+  sharded over a 'batch' mesh axis with pjit.
+- `sharded`: tensor-parallel KKT — G row-sharded over a 'kkt' axis, the
+  normal-equations product formed with psum over ICI.
+"""
+
+from .batch import make_qp_solver, batched_qp_solver, make_mesh  # noqa: F401
+from .sharded import sharded_kkt_factor  # noqa: F401

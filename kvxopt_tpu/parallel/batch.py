@@ -1,0 +1,75 @@
+"""Scenario batching: solve many cone QPs at once.
+
+The TPU analogue of the reference's 'run many CPU solves' workload
+(BASELINE.json config 'ACTIVSg2000 scenario batch').  A batch of problem
+instances with identical shapes is solved by one jitted program: vmap over
+the pure coneqp core, optionally pjit-sharded over a 'batch' mesh axis so
+scenarios spread across chips with zero communication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import cones, kkt, config
+from ..cones import ConeDims
+from ..solvers.coneprog import Options, _coneqp_core
+
+
+def make_mesh(n_devices=None, axis_names=("batch",), shape=None):
+    """A 1D (or reshaped) mesh over the available devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    arr = np.array(devs)
+    if shape is not None:
+        arr = arr.reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def make_qp_solver(dims, kktsolver=None, options=None, with_eq=False):
+    """Returns a pure function solve(P, q, G, h[, A, b]) -> state tuple
+    (x, y, s, z, iterations, status, metrics) suitable for jit / vmap.
+
+    dims and options are static; the KKT factorization strategy defaults to
+    'chol' with q/s cones, 'chol2' otherwise (the reference coneqp default,
+    coneprog.py:1805-1809).
+    """
+    dims = ConeDims.from_dict(dims)
+    o = options if isinstance(options, Options) else Options(
+        **(options or {}))
+    if kktsolver is None:
+        kktsolver = "chol" if (dims.q or dims.s) else "chol2"
+
+    def solve(P, q, G, h, A=None, b=None):
+        dtype = q.dtype
+        if A is None:
+            A = jnp.zeros((0, q.shape[0]), dtype)
+            b = jnp.zeros((0,), dtype)
+        factor = kkt.make_kkt_solver(kktsolver, dims, G, A, P, reg=o.kktreg)
+        gmv = lambda v, trans=False: (G.T @ v if trans else G @ v)
+        amv = lambda v, trans=False: (A.T @ v if trans else A @ v)
+        pmv = lambda v: P @ v
+        return _coneqp_core(P, q, G, h, A, b, None, dims, o, factor,
+                            gmv, amv, pmv, dtype)
+
+    return solve
+
+
+def batched_qp_solver(dims, kktsolver=None, options=None, mesh=None,
+                      with_eq=False):
+    """vmap (and optionally pjit over mesh axis 'batch') of
+    make_qp_solver: solve(P[B], q[B], G[B], h[B]) -> batched state."""
+    solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
+    vsolve = jax.vmap(solve_one)
+    if mesh is None:
+        return jax.jit(vsolve)
+    spec = P("batch")
+    shard = NamedSharding(mesh, spec)
+    return jax.jit(vsolve, in_shardings=(shard,) * 4,
+                   out_shardings=None)

@@ -196,11 +196,12 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
         if any(v is None for v in init):
             raise ValueError("initvals must provide x, y, s and z")
 
-    state = _coneqp_solve(Pa, q, Ga, h, Aa, b, init, dims, o, factor,
-                          gmv, amv, pmv, dtype)
+    state = _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o, factor,
+                         gmv, amv, pmv, dtype)
     (x, y, s, z, it, status, m) = state
     metrics = _qp_metrics_dict(dims, m, s, z)
-    return _result_dict(status, x, y, s, z, dims, metrics, it)
+    return _result_dict(int(status), x, y, s, z, dims, metrics,
+                        int(it) - 1)
 
 
 def _qp_metrics_dict(dims, m: Metrics, s, z):
@@ -217,8 +218,10 @@ def _qp_metrics_dict(dims, m: Metrics, s, z):
     }
 
 
-def _coneqp_solve(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
-                  gmv, amv, pmv, dtype):
+def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
+                 gmv, amv, pmv, dtype):
+    """Pure, jit-traceable coneqp driver: the entire IPM is one
+    lax.while_loop; returns the final state as arrays (no host syncs)."""
     n = q.shape[0]
     p = b.shape[0]
     N = dims.size
@@ -351,9 +354,7 @@ def _coneqp_solve(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
     x0, y0, s0, z0 = initial_point()
     _, _, _, m0 = metrics_of(x0, y0, s0, z0)
     carry0 = (x0, y0, s0, z0, jnp.int32(0), jnp.int32(RUNNING), m0)
-    x, y, s, z, it, status, m = jax.lax.while_loop(cond, body, carry0)
-    # iterations counter: body increments even on the terminating check
-    return x, y, s, z, int(it) - 1, int(status), m
+    return jax.lax.while_loop(cond, body, carry0)
 
 
 def qp(P, q, G=None, h=None, A=None, b=None, solver=None, initvals=None,

@@ -1,0 +1,88 @@
+"""Batched and sharded solves on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from kvxopt_tpu.cones import ConeDims
+from kvxopt_tpu.parallel import (make_qp_solver, batched_qp_solver,
+                                 make_mesh, sharded_kkt_factor)
+from kvxopt_tpu.solvers import qp
+from kvxopt_tpu.solvers.coneprog import OPTIMAL
+
+
+def _random_qp_batch(B, n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    Ps = np.zeros((B, n, n)); qs = np.zeros((B, n))
+    Gs = np.zeros((B, m, n)); hs = np.zeros((B, m))
+    for i in range(B):
+        M = rng.standard_normal((n, n))
+        Ps[i] = M @ M.T + n * np.eye(n)
+        qs[i] = rng.standard_normal(n)
+        Gs[i] = rng.standard_normal((m, n))
+        hs[i] = Gs[i] @ rng.standard_normal(n) + rng.uniform(0.5, 1.5, m)
+    return (jnp.asarray(Ps), jnp.asarray(qs), jnp.asarray(Gs),
+            jnp.asarray(hs))
+
+
+def test_make_qp_solver_jit():
+    Ps, qs, Gs, hs = _random_qp_batch(1, 6, 9)
+    solve = jax.jit(make_qp_solver(ConeDims(l=9)))
+    x, y, s, z, it, status, m = solve(Ps[0], qs[0], Gs[0], hs[0])
+    assert int(status) == OPTIMAL
+    # matches the high-level API
+    sol = qp(np.asarray(Ps[0]), np.asarray(qs[0]), np.asarray(Gs[0]),
+             np.asarray(hs[0]))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(sol["x"]),
+                               atol=1e-7)
+
+
+def test_batched_qp_vmap():
+    B, n, m = 4, 6, 9
+    Ps, qs, Gs, hs = _random_qp_batch(B, n, m, seed=1)
+    vsolve = batched_qp_solver(ConeDims(l=m))
+    x, y, s, z, it, status, metrics = vsolve(Ps, qs, Gs, hs)
+    assert (np.asarray(status) == OPTIMAL).all()
+    for i in range(B):
+        sol = qp(np.asarray(Ps[i]), np.asarray(qs[i]), np.asarray(Gs[i]),
+                 np.asarray(hs[i]))
+        np.testing.assert_allclose(np.asarray(x[i]), np.asarray(sol["x"]),
+                                   atol=1e-6)
+
+
+def test_batched_qp_sharded_over_mesh():
+    B, n, m = 8, 6, 9
+    Ps, qs, Gs, hs = _random_qp_batch(B, n, m, seed=2)
+    mesh = make_mesh(8, ("batch",))
+    vsolve = batched_qp_solver(ConeDims(l=m), mesh=mesh)
+    shard = NamedSharding(mesh, P("batch"))
+    args = [jax.device_put(a, shard) for a in (Ps, qs, Gs, hs)]
+    x, y, s, z, it, status, metrics = vsolve(*args)
+    assert (np.asarray(status) == OPTIMAL).all()
+
+
+def test_sharded_kkt_factor():
+    rng = np.random.default_rng(3)
+    n, m = 16, 64  # m rows sharded over 8 devices
+    G = jnp.asarray(rng.standard_normal((m, n)))
+    d = jnp.asarray(rng.uniform(0.5, 2.0, m))
+    Pm = jnp.asarray(np.eye(n))
+    mesh = make_mesh(8, ("kkt",))
+    gshard = NamedSharding(mesh, P("kkt", None))
+    dshard = NamedSharding(mesh, P("kkt"))
+    Gd = jax.device_put(G, gshard)
+    dd = jax.device_put(d, dshard)
+    solve, K = sharded_kkt_factor(mesh, "kkt", Gd, dd, Pmat=Pm)
+    Kref = np.eye(n) + np.asarray(G).T @ np.diag(
+        1.0 / np.asarray(d) ** 2) @ np.asarray(G)
+    np.testing.assert_allclose(np.asarray(K), Kref, rtol=1e-9, atol=1e-9)
+    bx = jnp.asarray(rng.standard_normal(n))
+    bz = jax.device_put(jnp.asarray(rng.standard_normal(m)), dshard)
+    ux, uz = solve(bx, bz)
+    # verify: K ux = bx + G'D^{-2}bz ; uz = D^{-2}(G ux - bz)
+    np.testing.assert_allclose(
+        Kref @ np.asarray(ux),
+        np.asarray(bx) + np.asarray(G).T @ (np.asarray(bz) /
+                                            np.asarray(d) ** 2),
+        rtol=1e-8, atol=1e-8)
