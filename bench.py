@@ -34,20 +34,22 @@ def main():
     bd = jnp.asarray(bs)
 
     @jax.jit
-    def step(K, b):
+    def step(K, b, scale):
+        # `scale` varies per call so no layer can dedupe repeated identical
+        # executions (the axon relay caches same-input dispatches)
         def one(Ki, bi):
-            c = cho_factor(Ki, lower=True)
+            c = cho_factor(Ki * scale, lower=True)
             x1 = cho_solve(c, bi)
             x2 = cho_solve(c, x1)
             return x2
         return jax.vmap(one)(K, b)
 
     # warmup/compile
-    step(Kd, bd).block_until_ready()
+    step(Kd, bd, jnp.float32(1.0)).block_until_ready()
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(Kd, bd)
+    for i in range(iters):
+        out = step(Kd, bd, jnp.float32(1.0 + 1e-6 * i))
     out.block_until_ready()
     t1 = time.perf_counter()
     tpu_time = (t1 - t0) / iters

@@ -1,0 +1,196 @@
+"""Sparse Cholesky (reference src/C/cholmod.c): symbolic, numeric, solve,
+spsolve, linsolve, splinsolve, diag, getfactor, options.
+
+Factorizes P A P' = L D L' (simplicial, up-looking, native implementation
+in kvxopt_tpu/native/host.cpp) with a minimum-degree fill-reducing
+permutation P.  Like the reference, the module-level `options` dict is
+read at call time (cholmod.c:50-108): options['supernodal'] != 0 demands
+positive definiteness (LL' semantics, ArithmeticError otherwise);
+options['supernodal'] == 0 permits indefinite LDL'.
+
+Repeated `numeric(A, F)` calls on the same symbolic object reuse the
+factor pattern and only recompute values (free fast-refactorization, the
+analogue of CHOLMOD's separate symbolic/numeric phases).
+
+Real ('d') matrices only in this build; complex Hermitian support is
+routed through the LU modules.
+"""
+
+import numpy as np
+import scipy.sparse as _sp
+import ctypes
+
+from .base import matrix, spmatrix
+from .sparse import canon_csc
+from .native import lib
+from . import amd as _amd
+
+options = {"supernodal": 2}
+
+
+class CholSymbolic:
+    """Permutation + (lazily created) native factor handle."""
+
+    def __init__(self, A, p=None, uplo="L"):
+        m, n, cp, ri, vx = canon_csc(A)
+        if m != n:
+            raise TypeError("matrix must be square")
+        if vx.dtype.kind == "c":
+            raise TypeError("cholmod: complex matrices not supported in "
+                            "this build; use umfpack/klu")
+        self.n = n
+        self.uplo = uplo
+        if p is not None:
+            self.perm = np.asarray(p, dtype=np.int64).reshape(-1)
+        else:
+            self.perm = _amd.order_array(A, uplo=uplo)
+        self._handle = None
+        self._numeric = False
+
+    def _permuted_lower(self, A):
+        m, n, cp, ri, vx = canon_csc(A)
+        csc = _sp.csc_matrix((vx, ri, cp), shape=(n, n))
+        tri = _sp.tril(csc) if self.uplo == "L" else _sp.triu(csc)
+        full = tri + tri.T - _sp.diags(tri.diagonal())
+        perm = self.perm
+        sub = full[perm, :][:, perm]
+        low = _sp.tril(sub).tocsc()
+        low.sort_indices()
+        return (low.indptr.astype(np.int64),
+                low.indices.astype(np.int64),
+                np.ascontiguousarray(low.data.astype(np.float64)))
+
+    def factorize(self, A):
+        cp, ri, vx = self._permuted_lower(A)
+        if self._handle is None:
+            st = ctypes.c_longlong(0)
+            self._handle = lib.ldl_factor(self.n, cp, ri, vx,
+                                          ctypes.byref(st))
+            status = st.value
+        else:
+            status = lib.ldl_refactor(self._handle, self.n, cp, ri, vx)
+        if status != 0:
+            raise ArithmeticError("factorization failed (zero pivot)")
+        if options.get("supernodal", 2) != 0:
+            D = self.Dvals()
+            if (D <= 0).any():
+                raise ArithmeticError("matrix is not positive definite")
+        self._numeric = True
+
+    def Dvals(self):
+        D = np.zeros(self.n, np.float64)
+        lib.ldl_diag(self._handle, D)
+        return D
+
+    def solve_permuted(self, barr, mode):
+        work = np.ascontiguousarray(barr.T, dtype=np.float64)
+        lib.ldl_solve(self._handle, work, work.shape[0], mode)
+        return work.T
+
+    def get_L(self):
+        n = self.n
+        nnz = lib.ldl_lnnz(self._handle)
+        Lp = np.zeros(n + 1, np.int64)
+        Li = np.zeros(nnz, np.int64)
+        Lx = np.zeros(nnz, np.float64)
+        D = np.zeros(n, np.float64)
+        lib.ldl_get(self._handle, Lp, Li, Lx, D)
+        Lm = _sp.csc_matrix((Lx, Li, Lp), shape=(n, n)) + _sp.eye(n)
+        return Lm.tocsc(), D
+
+    def __del__(self):
+        try:
+            if self._handle is not None:
+                lib.ldl_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+
+def symbolic(A, p=None, uplo="L"):
+    """Symbolic analysis (cholmod.c:218)."""
+    return CholSymbolic(A, p=p, uplo=uplo)
+
+
+def numeric(A, F):
+    """Numeric factorization into a symbolic object (cholmod.c:294);
+    repeated calls refactor in place."""
+    F.factorize(A)
+
+
+def _check_numeric(F):
+    if not getattr(F, "_numeric", False):
+        raise ValueError("factor is not numeric")
+
+
+def solve(F, B, sys=0):
+    """In-place solve with the factor; `sys` selects the system exactly as
+    the reference (cholmod.c:401):
+    0: Ax=b, 1: LDL'x=b, 2: LDx=b, 3: DL'x=b, 4: Lx=b, 5: L'x=b,
+    6: Dx=b, 7: x=Pb, 8: x=P'b."""
+    _check_numeric(F)
+    if not isinstance(B, matrix):
+        raise TypeError("B must be a dense matrix")
+    arr = np.asarray(B, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    perm = F.perm
+    if sys == 0:
+        w = arr[perm, :]
+        w = F.solve_permuted(w, 0)
+        out = np.empty_like(arr)
+        out[perm, :] = w
+    elif sys in (1, 2, 3, 4, 5, 6):
+        mode = {1: 0, 2: 4, 3: 5, 4: 1, 5: 3, 6: 2}[sys]
+        out = F.solve_permuted(arr, mode)
+    elif sys == 7:
+        out = arr[perm, :]
+    elif sys == 8:
+        out = np.empty_like(arr)
+        out[perm, :] = arr
+    else:
+        raise ValueError("sys must be in 0..8")
+    B._a = np.asfortranarray(out.astype(B._a.dtype))
+
+
+def spsolve(F, B, sys=0):
+    """Sparse-RHS solve returning an spmatrix (cholmod.c:502)."""
+    _check_numeric(F)
+    dense = matrix(np.asarray(B, dtype=float))
+    solve(F, dense, sys=sys)
+    return spmatrix._from_csc(_sp.csc_matrix(np.asarray(dense)))
+
+
+def linsolve(A, B, p=None, uplo="L"):
+    """One-shot factor + in-place solve (cholmod.c:590)."""
+    F = symbolic(A, p=p, uplo=uplo)
+    numeric(A, F)
+    solve(F, B, sys=0)
+
+
+def splinsolve(A, B, p=None, uplo="L"):
+    """One-shot with a sparse RHS, returning an spmatrix
+    (cholmod.c:757)."""
+    F = symbolic(A, p=p, uplo=uplo)
+    numeric(A, F)
+    return spsolve(F, B, sys=0)
+
+
+def diag(F):
+    """Diagonal of the Cholesky factor L of P A P' = L L'
+    (cholmod.c:884)."""
+    _check_numeric(F)
+    D = F.Dvals()
+    if (D < 0).any():
+        raise ArithmeticError("matrix is not positive definite")
+    return matrix(np.sqrt(D).reshape(-1, 1))
+
+
+def getfactor(F):
+    """The factor L with P A P' = L L' as an spmatrix (cholmod.c:1002)."""
+    _check_numeric(F)
+    L, D = F.get_L()
+    if (D < 0).any():
+        raise ArithmeticError("matrix is not positive definite")
+    Lc = L @ _sp.diags(np.sqrt(D))
+    return spmatrix._from_csc(Lc.tocsc())

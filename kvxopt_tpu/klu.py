@@ -1,0 +1,71 @@
+"""KLU-style sparse LU with fast refactorization (reference src/C/klu.c,
+the fork's flagship module): linsolve, symbolic, numeric, solve,
+get_numeric, get_det.
+
+The key feature mirrored from the reference: `numeric(A, Fs, N=None)` with
+a prior numeric object N reuses its pattern and pivot sequence and only
+recomputes values (klu_refactor), falling back to a full factorization on
+numerical failure (klu.c:296-302) — the workhorse for repeated solves with
+fixed sparsity (power-flow Jacobians etc.).
+
+This implementation performs no BTF permutation or row scaling, so
+get_numeric returns F = 0, r = [0, n] and R = I in the identity
+R*P*A*Q = L*U + F (klu.c:382)."""
+
+import numpy as np
+
+from .base import matrix, spmatrix
+from .sparse import canon_csc, perm_spmatrix
+from .sparse.lu import SymbolicLU, NumericLU
+
+options = {}
+
+
+def symbolic(A):
+    """Symbolic analysis (klu.c:234)."""
+    return SymbolicLU(A)
+
+
+def numeric(A, Fs, N=None):
+    """Numeric factorization; with N given, attempt fast refactorization
+    reusing N's pattern and pivots, with automatic fallback to a full
+    factorization (klu.c:296-302)."""
+    return NumericLU(A, Fs, refactor_from=N)
+
+
+def _solve_into(B, Fn, trans):
+    if not isinstance(B, matrix):
+        raise TypeError("B must be a dense matrix")
+    arr = np.asarray(B)
+    out = Fn.solve_inplace(arr, trans)
+    B._a = np.asfortranarray(out.astype(B._a.dtype))
+
+
+def solve(A, Fs, Fn, B, trans="N"):
+    """In-place solve with existing factors (klu.c:569)."""
+    _solve_into(B, Fn, trans)
+
+
+def linsolve(A, B, trans="N"):
+    """One-shot factor + solve (klu.c:74)."""
+    Fs = symbolic(A)
+    Fn = numeric(A, Fs)
+    _solve_into(B, Fn, trans)
+
+
+def get_numeric(A, Fs, Fn):
+    """Export factors (L, U, P, Q, R, F, r) with R*P*A*Q = L*U + F
+    (klu.c:382).  No BTF / row scaling here: F = 0, r = [0, n], R = I."""
+    L, U, p, q = Fn.get_factors()
+    n = Fn.n
+    P = perm_spmatrix(p)
+    Q = perm_spmatrix(q).T
+    R = spmatrix(np.ones(n), np.arange(n), np.arange(n), size=(n, n))
+    F = spmatrix([], [], [], size=(n, n))
+    r = matrix(np.array([0, n], dtype=np.int64).reshape(-1, 1))
+    return (spmatrix._from_csc(L), spmatrix._from_csc(U), P, Q, R, F, r)
+
+
+def get_det(A, Fs, Fn):
+    """Determinant (klu.c:693, fork extra)."""
+    return Fn.det()

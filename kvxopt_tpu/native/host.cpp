@@ -1,0 +1,671 @@
+// Host-side sparse kernels for kvxopt_tpu.
+//
+// Native equivalents (written from scratch) of the capabilities the
+// reference gets from SuiteSparse:
+//   - minimum-degree fill-reducing ordering      (reference: src/C/amd.c)
+//   - elimination tree symbolic analysis         (reference: cholmod.c symbolic)
+//   - simplicial numeric Cholesky LDL'           (reference: cholmod.c numeric)
+//   - left-looking sparse LU with partial pivoting, symbolic reuse and
+//     fast numeric refactorization               (reference: klu.c:234-302,
+//                                                 umfpack.c:232-292)
+//   - triangular solves, determinants            (klu.c:693, umfpack.c:671)
+//
+// All matrices are compressed-sparse-column (CSC) with 64-bit indices,
+// matching the reference's ccs struct (src/C/kvxopt.h:58-69).  Exposed via
+// a plain C ABI consumed through ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+using i64 = long long;
+using cplx = std::complex<double>;
+
+static inline double mag(double v) { return std::fabs(v); }
+static inline double mag(const cplx& v) { return std::abs(v); }
+static inline double conj_of(double v) { return v; }
+static inline cplx conj_of(const cplx& v) { return std::conj(v); }
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Minimum-degree ordering (external-degree variant on the elimination
+// graph).  A must be structurally symmetric (pattern of A+A' is fine).
+// ---------------------------------------------------------------------------
+void mindeg_order(i64 n, const i64* colptr, const i64* rowind, i64* perm) {
+  std::vector<std::vector<i64>> adj(n);
+  for (i64 j = 0; j < n; ++j)
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p) {
+      i64 i = rowind[p];
+      if (i != j) {
+        adj[j].push_back(i);
+        adj[i].push_back(j);
+      }
+    }
+  for (i64 j = 0; j < n; ++j) {
+    std::sort(adj[j].begin(), adj[j].end());
+    adj[j].erase(std::unique(adj[j].begin(), adj[j].end()), adj[j].end());
+  }
+  std::vector<char> eliminated(n, 0);
+  std::vector<i64> degree(n);
+  for (i64 j = 0; j < n; ++j) degree[j] = (i64)adj[j].size();
+
+  // bucket list by degree for O(1) min selection with lazy repositioning
+  for (i64 k = 0; k < n; ++k) {
+    i64 best = -1, bestdeg = n + 1;
+    for (i64 j = 0; j < n; ++j)
+      if (!eliminated[j] && degree[j] < bestdeg) {
+        bestdeg = degree[j];
+        best = j;
+      }
+    perm[k] = best;
+    eliminated[best] = 1;
+    std::vector<i64> live;
+    live.reserve(adj[best].size());
+    for (i64 v : adj[best])
+      if (!eliminated[v]) live.push_back(v);
+    for (i64 v : live) {
+      std::vector<i64> merged;
+      merged.reserve(adj[v].size() + live.size());
+      for (i64 w : adj[v])
+        if (!eliminated[w]) merged.push_back(w);
+      for (i64 w : live)
+        if (w != v) merged.push_back(w);
+      std::sort(merged.begin(), merged.end());
+      merged.erase(std::unique(merged.begin(), merged.end()),
+                   merged.end());
+      adj[v].swap(merged);
+      degree[v] = (i64)adj[v].size();
+    }
+    adj[best].clear();
+    adj[best].shrink_to_fit();
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Simplicial sparse LDL' Cholesky (up-looking).  Input: LOWER triangle of
+// the (already permuted) symmetric matrix in CSC (rows i >= j).
+// status: 0 ok, k+1 -> zero pivot at column k.
+// ---------------------------------------------------------------------------
+
+struct CholFactor {
+  i64 n = 0;
+  std::vector<i64> parent;
+  std::vector<i64> Lp, Li;    // strictly-lower pattern of L
+  std::vector<double> Lx;
+  std::vector<double> D;
+  // stored row-wise copy of the strict lower triangle of A, transposed
+  // (per pivotal row), for refactorization
+  std::vector<i64> tp, tj;
+  std::vector<double> tx;
+  std::vector<double> diag;
+};
+
+static void chol_build_rows(CholFactor* F, i64 n, const i64* colptr,
+                            const i64* rowind, const double* values) {
+  // row-wise view of strict lower triangle: for each row i, columns j < i
+  std::vector<i64> cnt(n + 1, 0);
+  for (i64 j = 0; j < n; ++j)
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p) {
+      i64 i = rowind[p];
+      if (i > j) cnt[i + 1]++;
+    }
+  F->tp.assign(n + 1, 0);
+  for (i64 i = 0; i < n; ++i) F->tp[i + 1] = F->tp[i] + cnt[i + 1];
+  F->tj.assign(F->tp[n], 0);
+  F->tx.assign(F->tp[n], 0.0);
+  F->diag.assign(n, 0.0);
+  std::vector<i64> w(n);
+  for (i64 i = 0; i < n; ++i) w[i] = F->tp[i];
+  for (i64 j = 0; j < n; ++j)
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p) {
+      i64 i = rowind[p];
+      if (i > j) {
+        F->tj[w[i]] = j;
+        F->tx[w[i]] = values[p];
+        w[i]++;
+      } else if (i == j) {
+        F->diag[j] = values[p];
+      }
+    }
+}
+
+static i64 chol_numeric(CholFactor* F) {
+  i64 n = F->n;
+  std::vector<i64> next(n);
+  for (i64 j = 0; j < n; ++j) next[j] = F->Lp[j];
+  std::vector<double> y(n, 0.0);
+  std::vector<i64> pattern(n), mark(n, -1);
+  i64 status = 0;
+  for (i64 i = 0; i < n; ++i) {
+    i64 top = n;
+    mark[i] = i;
+    for (i64 p = F->tp[i]; p < F->tp[i + 1]; ++p) {
+      i64 k = F->tj[p];
+      y[k] += F->tx[p];
+      i64 len = 0;
+      while (mark[k] != i) {
+        pattern[len++] = k;
+        mark[k] = i;
+        k = F->parent[k];
+      }
+      while (len > 0) pattern[--top] = pattern[--len];
+    }
+    double di = F->diag[i];
+    for (i64 t = top; t < n; ++t) {
+      i64 k = pattern[t];
+      double yk = y[k];
+      y[k] = 0.0;
+      double lik = yk / F->D[k];
+      for (i64 p = F->Lp[k]; p < next[k]; ++p) y[F->Li[p]] -= F->Lx[p] * yk;
+      di -= lik * yk;
+      F->Li[next[k]] = i;
+      F->Lx[next[k]] = lik;
+      next[k]++;
+    }
+    if (di == 0.0 && status == 0) status = i + 1;
+    F->D[i] = di;
+  }
+  return status;
+}
+
+void* ldl_factor(i64 n, const i64* colptr, const i64* rowind,
+                 const double* values, i64* status) {
+  CholFactor* F = new CholFactor();
+  F->n = n;
+  chol_build_rows(F, n, colptr, rowind, values);
+  // etree from row patterns
+  F->parent.assign(n, -1);
+  {
+    std::vector<i64> ancestor(n, -1);
+    for (i64 i = 0; i < n; ++i)
+      for (i64 p = F->tp[i]; p < F->tp[i + 1]; ++p) {
+        i64 k = F->tj[p];
+        while (k != -1 && k < i) {
+          i64 nxt = ancestor[k];
+          ancestor[k] = i;
+          if (nxt == -1) F->parent[k] = i;
+          k = nxt;
+        }
+      }
+  }
+  // column counts (strictly lower) via marked etree walks
+  std::vector<i64> counts(n, 0), mark(n, -1);
+  for (i64 i = 0; i < n; ++i) {
+    mark[i] = i;
+    for (i64 p = F->tp[i]; p < F->tp[i + 1]; ++p) {
+      i64 k = F->tj[p];
+      while (mark[k] != i) {
+        counts[k]++;
+        mark[k] = i;
+        k = F->parent[k];
+      }
+    }
+  }
+  F->Lp.assign(n + 1, 0);
+  for (i64 j = 0; j < n; ++j) F->Lp[j + 1] = F->Lp[j] + counts[j];
+  F->Li.assign(F->Lp[n], 0);
+  F->Lx.assign(F->Lp[n], 0.0);
+  F->D.assign(n, 0.0);
+  *status = chol_numeric(F);
+  return F;
+}
+
+// numeric-only refactorization with the same pattern (values of the
+// permuted lower triangle in the SAME CSC layout as the original call).
+i64 ldl_refactor(void* handle, i64 n, const i64* colptr, const i64* rowind,
+                 const double* values) {
+  CholFactor* F = static_cast<CholFactor*>(handle);
+  if (F->n != n) return -1;
+  chol_build_rows(F, n, colptr, rowind, values);
+  return chol_numeric(F);
+}
+
+void ldl_free(void* handle) { delete static_cast<CholFactor*>(handle); }
+
+i64 ldl_lnnz(void* handle) {
+  CholFactor* F = static_cast<CholFactor*>(handle);
+  return (i64)F->Lx.size();
+}
+
+void ldl_get(void* handle, i64* Lp, i64* Li, double* Lx, double* D) {
+  CholFactor* F = static_cast<CholFactor*>(handle);
+  std::memcpy(Lp, F->Lp.data(), sizeof(i64) * (F->n + 1));
+  if (!F->Li.empty()) {
+    std::memcpy(Li, F->Li.data(), sizeof(i64) * F->Li.size());
+    std::memcpy(Lx, F->Lx.data(), sizeof(double) * F->Lx.size());
+  }
+  std::memcpy(D, F->D.data(), sizeof(double) * F->n);
+}
+
+// solve with the LDL' factors, b: n x nrhs column-major, in place.
+// mode: 0 = full LDL', 1 = L, 2 = D, 3 = L', 4 = LD, 5 = DL'
+// (covers the reference cholmod.solve sys variants, cholmod.c:401).
+void ldl_solve(void* handle, double* b, i64 nrhs, i64 mode) {
+  CholFactor* F = static_cast<CholFactor*>(handle);
+  i64 n = F->n;
+  for (i64 r = 0; r < nrhs; ++r) {
+    double* x = b + r * n;
+    if (mode == 0 || mode == 1 || mode == 4) {
+      for (i64 j = 0; j < n; ++j) {
+        double xj = x[j];
+        for (i64 p = F->Lp[j]; p < F->Lp[j + 1]; ++p)
+          x[F->Li[p]] -= F->Lx[p] * xj;
+      }
+    }
+    if (mode == 0 || mode == 2 || mode == 4 || mode == 5) {
+      for (i64 j = 0; j < n; ++j) x[j] /= F->D[j];
+    }
+    if (mode == 0 || mode == 3 || mode == 5) {
+      for (i64 j = n - 1; j >= 0; --j) {
+        double xj = x[j];
+        for (i64 p = F->Lp[j]; p < F->Lp[j + 1]; ++p)
+          xj -= F->Lx[p] * x[F->Li[p]];
+        x[j] = xj;
+      }
+    }
+  }
+}
+
+void ldl_diag(void* handle, double* out) {
+  CholFactor* F = static_cast<CholFactor*>(handle);
+  std::memcpy(out, F->D.data(), sizeof(double) * F->n);
+}
+
+}  // extern "C"  (templates below have C++ linkage)
+
+// ---------------------------------------------------------------------------
+// Sparse LU: left-looking Gilbert-Peierls with threshold partial pivoting,
+// given a column preordering q.  Refactorization reuses pattern + pivots.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+struct LUFactor {
+  i64 n = 0;
+  std::vector<i64> q;     // column order: position k eliminates column q[k]
+  std::vector<i64> pinv;  // pinv[orig row] = pivotal position
+  std::vector<i64> Lp, Li;  // strictly-lower, row indices are PIVOTAL
+  std::vector<T> Lx;
+  std::vector<i64> Up, Ui;  // column k of U: entries Ui < k plus diag last
+  std::vector<T> Ux;
+  int singular = 0;
+};
+
+// iterative DFS computing the topological order of Reach(L, pattern of
+// A(:,j)).  mark[v] == tag means visited.  Output nodes are pushed into
+// xi[top-1 ...]; returns new top.  Node ids are PIVOTAL indices for
+// finished columns, ORIGINAL row ids for non-pivotal rows (no L column).
+template <typename T>
+static i64 lu_reach(LUFactor<T>* F, i64 jcol, const i64* colptr,
+                    const i64* rowind, std::vector<i64>& mark, i64 tag,
+                    std::vector<i64>& xi, std::vector<i64>& pstack,
+                    i64 top) {
+  for (i64 p = colptr[jcol]; p < colptr[jcol + 1]; ++p) {
+    i64 start = rowind[p];  // original row id
+    if (mark[start] == tag) continue;
+    i64 head = 0;
+    xi[head] = start;
+    pstack[head] = -1;
+    while (head >= 0) {
+      i64 node = xi[head];
+      i64 ni = F->pinv[node];
+      if (pstack[head] < 0) {
+        mark[node] = tag;
+        pstack[head] = (ni >= 0) ? F->Lp[ni] : -2;
+      }
+      bool descended = false;
+      if (ni >= 0) {
+        for (i64 pp = pstack[head]; pp < F->Lp[ni + 1]; ++pp) {
+          // L row indices are pivotal positions of rows seen when the
+          // column was formed; convert back: we store ORIGINAL row ids in
+          // Li during factorization and remap at the end, so during
+          // factorization Li holds original ids.
+          i64 child = F->Li[pp];
+          if (mark[child] != tag) {
+            pstack[head] = pp + 1;
+            ++head;
+            xi[head] = child;
+            pstack[head] = -1;
+            descended = true;
+            break;
+          }
+        }
+        if (!descended) pstack[head] = F->Lp[ni + 1];
+      }
+      if (!descended) {
+        xi[--top] = node;
+        --head;
+      }
+    }
+  }
+  return top;
+}
+
+template <typename T>
+static void* lu_factor_impl(i64 n, const i64* colptr, const i64* rowind,
+                            const T* values, const i64* qperm, i64* status,
+                            double pivot_tol) {
+  LUFactor<T>* F = new LUFactor<T>();
+  F->n = n;
+  F->q.assign(qperm, qperm + n);
+  F->pinv.assign(n, -1);
+  F->Lp.assign(n + 1, 0);
+  F->Up.assign(n + 1, 0);
+  std::vector<T> x(n, T(0));
+  std::vector<i64> xi(n), pstack(n), mark(n, -1);
+  *status = 0;
+
+  for (i64 col = 0; col < n; ++col) {
+    i64 j = F->q[col];
+    i64 top = lu_reach(F, j, colptr, rowind, mark, col, xi, pstack, n);
+    // scatter A(:,j)
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p)
+      x[rowind[p]] += values[p];
+    // eliminate along topological order
+    for (i64 t = top; t < n; ++t) {
+      i64 node = xi[t];
+      i64 ni = F->pinv[node];
+      if (ni < 0) continue;
+      T xk = x[node];
+      if (xk != T(0))
+        for (i64 pp = F->Lp[ni]; pp < F->Lp[ni + 1]; ++pp)
+          x[F->Li[pp]] -= F->Lx[pp] * xk;
+    }
+    // pivot among non-pivotal rows
+    i64 pivrow = -1;
+    double pivmag = -1.0;
+    for (i64 t = top; t < n; ++t) {
+      i64 node = xi[t];
+      if (F->pinv[node] < 0) {
+        double m = mag(x[node]);
+        if (m > pivmag) {
+          pivmag = m;
+          pivrow = node;
+        }
+      }
+    }
+    if (pivrow < 0 || pivmag == 0.0) {
+      if (*status == 0) *status = col + 1;
+      F->singular = 1;
+      if (pivrow < 0)
+        for (i64 r = 0; r < n; ++r)
+          if (F->pinv[r] < 0) {
+            pivrow = r;
+            break;
+          }
+      x[pivrow] = T(1e-300);
+    } else if (F->pinv[j] < 0 && mag(x[j]) >= pivot_tol * pivmag) {
+      pivrow = j;  // prefer the diagonal when acceptable
+    }
+    T pivval = x[pivrow];
+    // emit U entries (pivotal rows) in increasing pivotal order: collect
+    std::vector<std::pair<i64, T>> ucol;
+    for (i64 t = top; t < n; ++t) {
+      i64 node = xi[t];
+      i64 ni = F->pinv[node];
+      if (ni >= 0) ucol.emplace_back(ni, x[node]);
+    }
+    std::sort(ucol.begin(), ucol.end(),
+              [](const std::pair<i64, T>& a, const std::pair<i64, T>& b) {
+                return a.first < b.first;
+              });
+    for (auto& kv : ucol) {
+      F->Ui.push_back(kv.first);
+      F->Ux.push_back(kv.second);
+    }
+    F->Ui.push_back(col);
+    F->Ux.push_back(pivval);
+    F->Up[col + 1] = (i64)F->Ui.size();
+    // emit L column: non-pivotal rows except the pivot, original row ids
+    F->pinv[pivrow] = col;
+    for (i64 t = top; t < n; ++t) {
+      i64 node = xi[t];
+      if (F->pinv[node] < 0) {
+        F->Li.push_back(node);
+        F->Lx.push_back(x[node] / pivval);
+      }
+      x[node] = T(0);
+    }
+    F->Lp[col + 1] = (i64)F->Li.size();
+  }
+  return F;
+}
+
+// refactorization: replay with fixed pattern and pivot order.
+template <typename T>
+static i64 lu_refactor_impl(void* handle, i64 n, const i64* colptr,
+                            const i64* rowind, const T* values) {
+  LUFactor<T>* F = static_cast<LUFactor<T>*>(handle);
+  if (F->n != n) return -1;
+  std::vector<T> x(n, T(0));  // indexed by ORIGINAL row id (L entries)
+  std::vector<T> xu(n, T(0));  // indexed by pivotal position (U entries)
+  i64 status = 0;
+  for (i64 col = 0; col < n; ++col) {
+    i64 j = F->q[col];
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p) {
+      i64 i = rowind[p];
+      i64 ni = F->pinv[i];
+      if (ni >= 0 && ni <= col) {
+        if (ni < col) xu[ni] += values[p];
+        else x[i] += values[p];  // ni == col: the pivot row
+      } else {
+        x[i] += values[p];
+      }
+    }
+    // Hmm: the pivot row has pinv == col; its value accumulates in x[i].
+    // eliminate along stored U pattern (sorted increasing => topological)
+    for (i64 p = F->Up[col]; p < F->Up[col + 1] - 1; ++p) {
+      i64 k = F->Ui[p];
+      T xk = xu[k];
+      xu[k] = T(0);
+      F->Ux[p] = xk;
+      if (xk != T(0)) {
+        for (i64 pp = F->Lp[k]; pp < F->Lp[k + 1]; ++pp) {
+          i64 i = F->Li[pp];  // original row id
+          i64 ni = F->pinv[i];
+          if (ni >= 0 && ni < col) xu[ni] -= F->Lx[pp] * xk;
+          else x[i] -= F->Lx[pp] * xk;
+        }
+      }
+    }
+    // pivot value: the row with pinv == col
+    // find it: the original row r with F->pinv[r] == col is fixed; we can
+    // precompute prow once.
+    // For efficiency, precompute prow outside the loop (see below).
+    // Here we rely on prow array:
+    // (filled lazily)
+    static thread_local std::vector<i64> prow;
+    if (col == 0) {
+      prow.assign(n, 0);
+      for (i64 r = 0; r < n; ++r) prow[F->pinv[r]] = r;
+    }
+    i64 pr = prow[col];
+    T piv = x[pr];
+    x[pr] = T(0);
+    F->Ux[F->Up[col + 1] - 1] = piv;
+    if (piv == T(0)) {
+      if (status == 0) status = col + 1;
+      piv = T(1e-300);
+    }
+    for (i64 p = F->Lp[col]; p < F->Lp[col + 1]; ++p) {
+      i64 i = F->Li[p];
+      F->Lx[p] = x[i] / piv;
+      x[i] = T(0);
+    }
+  }
+  return status;
+}
+
+template <typename T>
+static void lu_finalize_rows(LUFactor<T>*) {}
+
+// solve: trans 0 -> A x = b, 1 -> A^T x = b, 2 -> A^H x = b.
+// b is n x nrhs column-major, overwritten with the solution.
+template <typename T>
+static void lu_solve_impl(void* handle, T* b, i64 nrhs, i64 trans) {
+  LUFactor<T>* F = static_cast<LUFactor<T>*>(handle);
+  i64 n = F->n;
+  std::vector<T> y(n);
+  for (i64 r = 0; r < nrhs; ++r) {
+    T* bcol = b + r * n;
+    if (trans == 0) {
+      // A = P^T L U Q^T with row perm pinv, col perm q:
+      // solve L y = P b, U w = y, x[q[k]] = w[k]
+      for (i64 i = 0; i < n; ++i) y[F->pinv[i]] = bcol[i];
+      for (i64 k = 0; k < n; ++k) {
+        T xk = y[k];
+        if (xk != T(0))
+          for (i64 p = F->Lp[k]; p < F->Lp[k + 1]; ++p)
+            y[F->pinv[F->Li[p]]] -= F->Lx[p] * xk;
+      }
+      for (i64 k = n - 1; k >= 0; --k) {
+        T piv = F->Ux[F->Up[k + 1] - 1];
+        T xk = y[k] / piv;
+        y[k] = xk;
+        for (i64 p = F->Up[k]; p < F->Up[k + 1] - 1; ++p)
+          y[F->Ui[p]] -= F->Ux[p] * xk;
+      }
+      for (i64 k = 0; k < n; ++k) bcol[F->q[k]] = y[k];
+    } else {
+      bool cj = (trans == 2);
+      // A^T x = b: solve U^T z = b[q], L^T w = z, x = P^T w
+      for (i64 k = 0; k < n; ++k) y[k] = bcol[F->q[k]];
+      for (i64 k = 0; k < n; ++k) {
+        T sum = y[k];
+        for (i64 p = F->Up[k]; p < F->Up[k + 1] - 1; ++p) {
+          T u = F->Ux[p];
+          if (cj) u = conj_of(u);
+          sum -= u * y[F->Ui[p]];
+        }
+        T piv = F->Ux[F->Up[k + 1] - 1];
+        if (cj) piv = conj_of(piv);
+        y[k] = sum / piv;
+      }
+      for (i64 k = n - 1; k >= 0; --k) {
+        T sum = y[k];
+        for (i64 p = F->Lp[k]; p < F->Lp[k + 1]; ++p) {
+          T l = F->Lx[p];
+          if (cj) l = conj_of(l);
+          sum -= l * y[F->pinv[F->Li[p]]];
+        }
+        y[k] = sum;
+      }
+      for (i64 i = 0; i < n; ++i) bcol[i] = y[F->pinv[i]];
+    }
+  }
+}
+
+template <typename T>
+static void lu_det_impl(void* handle, T* det) {
+  LUFactor<T>* F = static_cast<LUFactor<T>*>(handle);
+  i64 n = F->n;
+  T d = T(1);
+  for (i64 k = 0; k < n; ++k) d *= F->Ux[F->Up[k + 1] - 1];
+  auto perm_sign = [n](const std::vector<i64>& perm) {
+    std::vector<char> seen(n, 0);
+    int sign = 1;
+    for (i64 i = 0; i < n; ++i) {
+      if (seen[i]) continue;
+      i64 len = 0, j = i;
+      while (!seen[j]) {
+        seen[j] = 1;
+        j = perm[j];
+        len++;
+      }
+      if (len % 2 == 0) sign = -sign;
+    }
+    return sign;
+  };
+  int s = perm_sign(F->pinv) * perm_sign(F->q);
+  *det = d * T(s);
+}
+
+template <typename T>
+static void lu_sizes_impl(void* handle, i64* lnnz, i64* unnz) {
+  LUFactor<T>* F = static_cast<LUFactor<T>*>(handle);
+  *lnnz = (i64)F->Lx.size() + F->n;
+  *unnz = (i64)F->Ux.size();
+}
+
+// export factors with PIVOTAL row indices in L (so that P A Q = L U with
+// P[k] = prow[k]) and explicit unit diagonal on L.
+template <typename T>
+static void lu_get_impl(void* handle, i64* Lp, i64* Li, T* Lx, i64* Up,
+                        i64* Ui, T* Ux, i64* prow, i64* qcol) {
+  LUFactor<T>* F = static_cast<LUFactor<T>*>(handle);
+  i64 n = F->n;
+  i64 pos = 0;
+  for (i64 k = 0; k < n; ++k) {
+    Lp[k] = pos;
+    Li[pos] = k;
+    Lx[pos] = T(1);
+    pos++;
+    for (i64 p = F->Lp[k]; p < F->Lp[k + 1]; ++p) {
+      Li[pos] = F->pinv[F->Li[p]];
+      Lx[pos] = F->Lx[p];
+      pos++;
+    }
+  }
+  Lp[n] = pos;
+  std::memcpy(Up, F->Up.data(), sizeof(i64) * (n + 1));
+  if (!F->Ui.empty()) {
+    std::memcpy(Ui, F->Ui.data(), sizeof(i64) * F->Ui.size());
+    std::memcpy(Ux, F->Ux.data(), sizeof(T) * F->Ux.size());
+  }
+  for (i64 i = 0; i < n; ++i) prow[F->pinv[i]] = i;
+  std::memcpy(qcol, F->q.data(), sizeof(i64) * n);
+}
+
+template <typename T>
+static i64 lu_singular_impl(void* handle) {
+  return static_cast<LUFactor<T>*>(handle)->singular;
+}
+
+extern "C" {
+
+// --- C ABI (double) ---
+void* lu_factor_d(i64 n, const i64* cp, const i64* ri, const double* vx,
+                  const i64* q, i64* status, double tol) {
+  return lu_factor_impl<double>(n, cp, ri, vx, q, status, tol);
+}
+i64 lu_refactor_d(void* h, i64 n, const i64* cp, const i64* ri,
+                  const double* vx) {
+  return lu_refactor_impl<double>(h, n, cp, ri, vx);
+}
+void lu_solve_d(void* h, double* b, i64 nrhs, i64 trans) {
+  lu_solve_impl<double>(h, b, nrhs, trans);
+}
+void lu_det_d(void* h, double* det) { lu_det_impl<double>(h, det); }
+void lu_sizes_d(void* h, i64* l, i64* u) { lu_sizes_impl<double>(h, l, u); }
+void lu_get_d(void* h, i64* Lp, i64* Li, double* Lx, i64* Up, i64* Ui,
+              double* Ux, i64* p, i64* q) {
+  lu_get_impl<double>(h, Lp, Li, Lx, Up, Ui, Ux, p, q);
+}
+i64 lu_singular_d(void* h) { return lu_singular_impl<double>(h); }
+void lu_free_d(void* h) { delete static_cast<LUFactor<double>*>(h); }
+
+// --- C ABI (complex double) ---
+void* lu_factor_z(i64 n, const i64* cp, const i64* ri, const cplx* vx,
+                  const i64* q, i64* status, double tol) {
+  return lu_factor_impl<cplx>(n, cp, ri, vx, q, status, tol);
+}
+i64 lu_refactor_z(void* h, i64 n, const i64* cp, const i64* ri,
+                  const cplx* vx) {
+  return lu_refactor_impl<cplx>(h, n, cp, ri, vx);
+}
+void lu_solve_z(void* h, cplx* b, i64 nrhs, i64 trans) {
+  lu_solve_impl<cplx>(h, b, nrhs, trans);
+}
+void lu_det_z(void* h, cplx* det) { lu_det_impl<cplx>(h, det); }
+void lu_sizes_z(void* h, i64* l, i64* u) { lu_sizes_impl<cplx>(h, l, u); }
+void lu_get_z(void* h, i64* Lp, i64* Li, cplx* Lx, i64* Up, i64* Ui,
+              cplx* Ux, i64* p, i64* q) {
+  lu_get_impl<cplx>(h, Lp, Li, Lx, Up, Ui, Ux, p, q);
+}
+i64 lu_singular_z(void* h) { return lu_singular_impl<cplx>(h); }
+void lu_free_z(void* h) { delete static_cast<LUFactor<cplx>*>(h); }
+
+}  // extern "C"
