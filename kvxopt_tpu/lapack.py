@@ -1,0 +1,698 @@
+"""LAPACK-style routines on dense matrices (reference src/C/lapack.c, 60
+routines, table lapack.c:7341-7400).
+
+Same in-place calling conventions as the reference: factors overwrite A,
+solutions overwrite B, eigen/singular values fill the provided matrices,
+pivot vectors fill 'i' matrices.  Backed by scipy's LAPACK (the same
+native library the reference links against); device-side factorizations
+in this framework go through jax (kvxopt_tpu.kkt), not this facade.
+
+Raises ArithmeticError on singular / non-positive-definite inputs, like
+the reference."""
+
+import numpy as np
+import scipy.linalg as sla
+import scipy.linalg.lapack as _lp
+
+from .base import matrix
+
+__all__ = [
+    "getrf", "getrs", "getri", "gesv", "gbtrf", "gbtrs", "gbsv",
+    "gttrf", "gttrs", "gtsv", "potrf", "potrs", "potri", "posv",
+    "pbtrf", "pbtrs", "pbsv", "pttrf", "pttrs", "ptsv",
+    "sytrf", "sytrs", "sytri", "sysv", "hetrf", "hetrs", "hetri", "hesv",
+    "trtrs", "trtri", "tbtrs",
+    "gels", "geqrf", "ormqr", "unmqr", "orgqr", "ungqr",
+    "gelqf", "ormlq", "unmlq", "orglq", "unglq", "geqp3",
+    "syev", "heev", "syevx", "heevx", "syevd", "heevd", "syevr", "heevr",
+    "sygv", "hegv", "gesvd", "gesdd", "gees", "gges",
+    "lacpy", "larfg", "larfx",
+]
+
+
+def _arr(X):
+    if not isinstance(X, matrix):
+        raise TypeError("arguments must be dense matrices")
+    return X._a
+
+
+def _set(X, val):
+    X._a = np.asfortranarray(np.asarray(val).reshape(X._a.shape,
+                                                     order="F")
+                             if np.asarray(val).ndim == 1 else
+                             np.asarray(val)).astype(X._a.dtype)
+
+
+def _write(X, val):
+    a = np.asarray(val)
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    X._a = np.asfortranarray(a.astype(a.dtype))
+
+
+def _complexkind(X):
+    return _arr(X).dtype.kind == "c"
+
+
+def _check(info, what="factorization"):
+    if info < 0:
+        raise ValueError(f"invalid argument {-info} in {what}")
+    if info > 0:
+        raise ArithmeticError(f"{what} failed (info={info})")
+
+
+# --- LU --------------------------------------------------------------------
+
+def getrf(A, ipiv):
+    a = _arr(A)
+    lu, piv, info = (_lp.zgetrf if a.dtype.kind == "c"
+                     else _lp.dgetrf)(a)
+    _check(info, "getrf")
+    _write(A, lu)
+    ipiv._a = np.asfortranarray(
+        (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+
+
+def getrs(A, ipiv, B, trans="N"):
+    a = _arr(A)
+    piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
+    tr = {"N": 0, "T": 1, "C": 2}[trans]
+    fn = _lp.zgetrs if a.dtype.kind == "c" else _lp.dgetrs
+    x, info = fn(a, piv, np.asarray(B).reshape(a.shape[0], -1),
+                 trans=tr)
+    _check(info, "getrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def getri(A, ipiv):
+    a = _arr(A)
+    piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
+    fn = _lp.zgetri if a.dtype.kind == "c" else _lp.dgetri
+    inv, info = fn(a, piv)
+    _check(info, "getri")
+    _write(A, inv)
+
+
+def gesv(A, B, ipiv=None):
+    a = _arr(A)
+    lu, piv, info = (_lp.zgetrf if a.dtype.kind == "c"
+                     else _lp.dgetrf)(a)
+    _check(info, "gesv")
+    fn = _lp.zgetrs if a.dtype.kind == "c" else _lp.dgetrs
+    x, info = fn(lu, piv, np.asarray(B).reshape(a.shape[0], -1))
+    _check(info, "gesv")
+    _write(A, lu)
+    if ipiv is not None:
+        ipiv._a = np.asfortranarray(
+            (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+# --- banded / tridiagonal --------------------------------------------------
+
+class _BandFactor:
+    pass
+
+
+def gbtrf(A, m, kl, ipiv, n=None, ldA=None, offsetA=0):
+    """Banded LU.  A uses the BLAS gb storage with kl+ku+1+kl rows
+    (LAPACK needs kl extra rows for fill); the reference's convention."""
+    a = _arr(A)
+    if n is None:
+        n = a.shape[1]
+    ku = a.shape[0] - 2 * kl - 1
+    fn = _lp.zgbtrf if a.dtype.kind == "c" else _lp.dgbtrf
+    lu, piv, info = fn(a, kl, ku)
+    _check(info, "gbtrf")
+    _write(A, lu)
+    ipiv._a = np.asfortranarray(
+        (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+
+
+def gbtrs(A, kl, ipiv, B, trans="N"):
+    a = _arr(A)
+    ku = a.shape[0] - 2 * kl - 1
+    piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
+    fn = _lp.zgbtrs if a.dtype.kind == "c" else _lp.dgbtrs
+    tr = {"N": 0, "T": 1, "C": 2}[trans]
+    x, info = fn(a, kl, ku, np.asarray(B).reshape(a.shape[1], -1), piv,
+                 trans=tr)
+    _check(info, "gbtrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def gbsv(A, kl, B, ipiv=None):
+    a = _arr(A)
+    ku = a.shape[0] - 2 * kl - 1
+    fn = _lp.zgbsv if a.dtype.kind == "c" else _lp.dgbsv
+    lub, piv, x, info = fn(kl, ku, a, np.asarray(B).reshape(
+        a.shape[1], -1))
+    _check(info, "gbsv")
+    _write(A, lub)
+    if ipiv is not None:
+        ipiv._a = np.asfortranarray(
+            (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def gttrf(dl, d, du, du2, ipiv):
+    fn = _lp.zgttrf if _complexkind(d) else _lp.dgttrf
+    dl2, d2, du_2, du2_2, piv, info = fn(
+        np.asarray(dl).reshape(-1), np.asarray(d).reshape(-1),
+        np.asarray(du).reshape(-1))
+    _check(info, "gttrf")
+    _write(dl, dl2); _write(d, d2); _write(du, du_2); _write(du2, du2_2)
+    ipiv._a = np.asfortranarray(
+        (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+
+
+def gttrs(dl, d, du, du2, ipiv, B, trans="N"):
+    fn = _lp.zgttrs if _complexkind(d) else _lp.dgttrs
+    piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
+    n = np.asarray(d).size
+    tr = {"N": "N", "T": "T", "C": "C"}[trans]
+    x, info = fn(np.asarray(dl).reshape(-1), np.asarray(d).reshape(-1),
+                 np.asarray(du).reshape(-1), np.asarray(du2).reshape(-1),
+                 piv, np.asarray(B).reshape(n, -1), trans=tr)
+    _check(info, "gttrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def gtsv(dl, d, du, B):
+    n = np.asarray(d).size
+    fn = _lp.zgtsv if _complexkind(d) else _lp.dgtsv
+    dl2, d2, du2, x, info = fn(np.asarray(dl).reshape(-1),
+                               np.asarray(d).reshape(-1),
+                               np.asarray(du).reshape(-1),
+                               np.asarray(B).reshape(n, -1))
+    _check(info, "gtsv")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+# --- Cholesky --------------------------------------------------------------
+
+def potrf(A, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zpotrf if a.dtype.kind == "c" else _lp.dpotrf
+    c, info = fn(a, lower=(uplo == "L"), clean=0)
+    _check(info, "potrf")
+    _write(A, c)
+
+
+def potrs(A, B, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zpotrs if a.dtype.kind == "c" else _lp.dpotrs
+    x, info = fn(a, np.asarray(B).reshape(a.shape[0], -1),
+                 lower=(uplo == "L"))
+    _check(info, "potrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def potri(A, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zpotri if a.dtype.kind == "c" else _lp.dpotri
+    inv, info = fn(a, lower=(uplo == "L"))
+    _check(info, "potri")
+    _write(A, inv)
+
+
+def posv(A, B, uplo="L"):
+    potrf(A, uplo)
+    potrs(A, B, uplo)
+
+
+def pbtrf(A, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zpbtrf if a.dtype.kind == "c" else _lp.dpbtrf
+    c, info = fn(a, lower=(uplo == "L"))
+    _check(info, "pbtrf")
+    _write(A, c)
+
+
+def pbtrs(A, B, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zpbtrs if a.dtype.kind == "c" else _lp.dpbtrs
+    x, info = fn(a, np.asarray(B).reshape(a.shape[1], -1),
+                 lower=(uplo == "L"))
+    _check(info, "pbtrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def pbsv(A, B, uplo="L"):
+    pbtrf(A, uplo)
+    pbtrs(A, B, uplo)
+
+
+def pttrf(d, e):
+    fn = _lp.zpttrf if _complexkind(e) else _lp.dpttrf
+    d2, e2, info = fn(np.asarray(d).reshape(-1).real,
+                      np.asarray(e).reshape(-1))
+    _check(info, "pttrf")
+    _write(d, d2); _write(e, e2)
+
+
+def pttrs(d, e, B, uplo="L"):
+    n = np.asarray(d).size
+    if _complexkind(e):
+        x, info = _lp.zpttrs(np.asarray(d).reshape(-1).real,
+                             np.asarray(e).reshape(-1),
+                             np.asarray(B).reshape(n, -1),
+                             lower=(uplo == "L"))
+    else:
+        x, info = _lp.dpttrs(np.asarray(d).reshape(-1),
+                             np.asarray(e).reshape(-1),
+                             np.asarray(B).reshape(n, -1))
+    _check(info, "pttrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def ptsv(d, e, B):
+    pttrf(d, e)
+    pttrs(d, e, B)
+
+
+# --- symmetric indefinite --------------------------------------------------
+
+def sytrf(A, ipiv, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zsytrf if a.dtype.kind == "c" else _lp.dsytrf
+    ldu, piv, info = fn(a, lower=(uplo == "L"))
+    _check(info, "sytrf")
+    _write(A, ldu)
+    ipiv._a = np.asfortranarray(
+        np.where(piv >= 0, piv.astype(np.int64) + 1,
+                 piv.astype(np.int64) - 0).reshape(ipiv._a.shape,
+                                                   order="F"))
+    ipiv._raw = piv  # keep the raw scipy pivots for sytrs/sytri
+
+
+def _rawpiv(ipiv):
+    if hasattr(ipiv, "_raw"):
+        return ipiv._raw
+    piv = np.asarray(ipiv).reshape(-1).astype(np.int32)
+    return np.where(piv > 0, piv - 1, piv)
+
+
+def sytrs(A, ipiv, B, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zsytrs if a.dtype.kind == "c" else _lp.dsytrs
+    x, info = fn(a, _rawpiv(ipiv), np.asarray(B).reshape(a.shape[0], -1),
+                 lower=(uplo == "L"))
+    _check(info, "sytrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def sytri(A, ipiv, uplo="L"):
+    a = _arr(A)
+    fn = _lp.zsytri if a.dtype.kind == "c" else _lp.dsytri
+    inv, info = fn(a, _rawpiv(ipiv), lower=(uplo == "L"))
+    _check(info, "sytri")
+    _write(A, inv)
+
+
+def sysv(A, ipiv, B, uplo="L"):
+    sytrf(A, ipiv, uplo)
+    sytrs(A, ipiv, B, uplo)
+
+
+def hetrf(A, ipiv, uplo="L"):
+    a = _arr(A)
+    if a.dtype.kind != "c":
+        return sytrf(A, ipiv, uplo)
+    ldu, piv, info = _lp.zhetrf(a, lower=(uplo == "L"))
+    _check(info, "hetrf")
+    _write(A, ldu)
+    ipiv._a = np.asfortranarray(
+        (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+    ipiv._raw = piv
+
+
+def hetrs(A, ipiv, B, uplo="L"):
+    a = _arr(A)
+    if a.dtype.kind != "c":
+        return sytrs(A, ipiv, B, uplo)
+    x, info = _lp.zhetrs(a, _rawpiv(ipiv),
+                         np.asarray(B).reshape(a.shape[0], -1),
+                         lower=(uplo == "L"))
+    _check(info, "hetrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def hetri(A, ipiv, uplo="L"):
+    a = _arr(A)
+    if a.dtype.kind != "c":
+        return sytri(A, ipiv, uplo)
+    inv, info = _lp.zhetri(a, _rawpiv(ipiv), lower=(uplo == "L"))
+    _check(info, "hetri")
+    _write(A, inv)
+
+
+def hesv(A, ipiv, B, uplo="L"):
+    hetrf(A, ipiv, uplo)
+    hetrs(A, ipiv, B, uplo)
+
+
+# --- triangular ------------------------------------------------------------
+
+def trtrs(A, B, uplo="L", trans="N", diag="N"):
+    a = _arr(A)
+    fn = _lp.ztrtrs if a.dtype.kind == "c" else _lp.dtrtrs
+    x, info = fn(a, np.asarray(B).reshape(a.shape[0], -1),
+                 lower=(uplo == "L"),
+                 trans={"N": 0, "T": 1, "C": 2}[trans],
+                 unitdiag=(diag == "U"))
+    _check(info, "trtrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+def trtri(A, uplo="L", diag="N"):
+    a = _arr(A)
+    fn = _lp.ztrtri if a.dtype.kind == "c" else _lp.dtrtri
+    inv, info = fn(a, lower=(uplo == "L"), unitdiag=(diag == "U"))
+    _check(info, "trtri")
+    _write(A, inv)
+
+
+def tbtrs(A, B, uplo="L", trans="N", kd=None, diag="N"):
+    a = _arr(A)
+    if kd is None:
+        kd = a.shape[0] - 1
+    fn = _lp.ztbtrs if a.dtype.kind == "c" else _lp.dtbtrs
+    x, info = fn(a, np.asarray(B).reshape(a.shape[1], -1),
+                 uplo=uplo, trans=trans, diag=diag)
+    _check(info, "tbtrs")
+    _write(B, x.reshape(np.asarray(B).shape))
+
+
+# --- least squares / orthogonal --------------------------------------------
+
+def gels(A, B, trans="N"):
+    a = _arr(A)
+    b = np.asarray(B)
+    m, n = a.shape
+    op = a if trans == "N" else (a.conj().T if trans == "C" else a.T)
+    x, res, rank, sv = np.linalg.lstsq(op, b.reshape(op.shape[0], -1),
+                                       rcond=None)
+    out = b.copy()
+    out[: x.shape[0], :] = x
+    _write(B, out)
+
+
+def geqrf(A, tau):
+    a = _arr(A)
+    fn = _lp.zgeqrf if a.dtype.kind == "c" else _lp.dgeqrf
+    qr, t, work, info = fn(a)
+    _check(info, "geqrf")
+    _write(A, qr)
+    _write(tau, t)
+
+
+def ormqr(A, tau, C, side="L", trans="N"):
+    a = _arr(A)
+    t = np.asarray(tau).reshape(-1)
+    fn = _lp.dormqr
+    cc = np.asarray(C)
+    tr = "T" if trans in ("T", "C") else "N"
+    out, work, info = fn(side, tr, a, t,
+                         np.asfortranarray(cc.reshape(cc.shape[0], -1)),
+                         max(1, 64 * cc.size))
+    _check(info, "ormqr")
+    _write(C, out.reshape(cc.shape))
+
+
+def unmqr(A, tau, C, side="L", trans="N"):
+    a = _arr(A)
+    if a.dtype.kind != "c":
+        return ormqr(A, tau, C, side, trans)
+    t = np.asarray(tau).reshape(-1)
+    cc = np.asarray(C)
+    tr = "C" if trans == "C" else "N"
+    out, work, info = _lp.zunmqr(side, tr, a, t,
+                                 np.asfortranarray(
+                                     cc.reshape(cc.shape[0], -1)),
+                                 max(1, 64 * cc.size))
+    _check(info, "unmqr")
+    _write(C, out.reshape(cc.shape))
+
+
+def orgqr(A, tau):
+    a = _arr(A)
+    t = np.asarray(tau).reshape(-1)
+    fn = _lp.zungqr if a.dtype.kind == "c" else _lp.dorgqr
+    q, work, info = fn(a, t)
+    _check(info, "orgqr")
+    _write(A, q)
+
+
+ungqr = orgqr
+
+
+def gelqf(A, tau):
+    """LQ via QR of A^T (scipy lacks gelqf): A = L Q."""
+    a = _arr(A)
+    q, r = np.linalg.qr(a.conj().T, mode="reduced")
+    # A = (QR)^H = R^H Q^H: store L = R^H in the lower part and keep Q
+    A._lq = (r.conj().T, q.conj().T)   # (L, Q)
+    L, Q = A._lq
+    out = a.copy()
+    out[: L.shape[0], : L.shape[1]] = L
+    _write(A, out)
+    _write(tau, np.zeros(min(a.shape), dtype=a.dtype))
+
+
+def ormlq(A, tau, C, side="L", trans="N"):
+    if not hasattr(A, "_lq"):
+        raise ValueError("ormlq requires a gelqf-factored A")
+    _, Q = A._lq
+    cc = np.asarray(C)
+    op = Q if trans == "N" else Q.conj().T
+    out = op @ cc if side == "L" else cc @ op
+    _write(C, out)
+
+
+unmlq = ormlq
+
+
+def orglq(A, tau):
+    if not hasattr(A, "_lq"):
+        raise ValueError("orglq requires a gelqf-factored A")
+    _, Q = A._lq
+    a = _arr(A)
+    k = min(a.shape)
+    _write(A, np.asarray(Q)[:a.shape[0], :])
+
+
+unglq = orglq
+
+
+def geqp3(A, jpvt, tau):
+    a = _arr(A)
+    fn = _lp.zgeqp3 if a.dtype.kind == "c" else _lp.dgeqp3
+    qr, piv, t, work, info = fn(a)
+    _check(info, "geqp3")
+    _write(A, qr)
+    jpvt._a = np.asfortranarray(
+        piv.astype(np.int64).reshape(jpvt._a.shape, order="F"))
+    _write(tau, t)
+
+
+# --- eigen / SVD / Schur ---------------------------------------------------
+
+def _sy_eig(A, W, jobz, uplo, driver):
+    a = _arr(A)
+    herm = a.dtype.kind == "c"
+    w, v = np.linalg.eigh(_full_sym(a, uplo, herm))
+    _write(W, w)
+    if jobz == "V":
+        _write(A, v)
+
+
+def _full_sym(a, uplo, herm):
+    if uplo == "L":
+        F = np.tril(a) + np.tril(a, -1).conj().T if herm else \
+            np.tril(a) + np.tril(a, -1).T
+    else:
+        F = np.triu(a) + np.triu(a, 1).conj().T if herm else \
+            np.triu(a) + np.triu(a, 1).T
+    if herm:
+        F[np.diag_indices_from(F)] = F.diagonal().real
+    return F
+
+
+def syev(A, W, jobz="N", uplo="L"):
+    _sy_eig(A, W, jobz, uplo, "ev")
+
+
+def syevd(A, W, jobz="N", uplo="L"):
+    _sy_eig(A, W, jobz, uplo, "evd")
+
+
+heev = syev
+heevd = syevd
+
+
+def syevx(A, W, jobz="N", range="A", uplo="L", vl=0.0, vu=0.0, il=1,
+          iu=None, Z=None):
+    """Selected eigenvalues/vectors; returns the number found (reference
+    lapack.c syevx)."""
+    a = _arr(A)
+    herm = a.dtype.kind == "c"
+    w, v = np.linalg.eigh(_full_sym(a, uplo, herm))
+    n = a.shape[0]
+    if range == "A":
+        sel = np.arange(n)
+    elif range == "V":
+        sel = np.where((w > vl) & (w <= vu))[0]
+    elif range == "I":
+        iu_ = iu if iu is not None else n
+        sel = np.arange(il - 1, iu_)
+    else:
+        raise ValueError("range must be 'A', 'V' or 'I'")
+    m = len(sel)
+    wv = np.asarray(W).reshape(-1).copy()
+    wv[:m] = w[sel]
+    _write(W, wv)
+    if jobz == "V" and Z is not None:
+        zv = np.asarray(Z).copy()
+        zv[:, :m] = v[:, sel]
+        _write(Z, zv)
+    return m
+
+
+heevx = syevx
+
+
+def syevr(A, W, jobz="N", range="A", uplo="L", vl=0.0, vu=0.0, il=1,
+          iu=None, Z=None):
+    return syevx(A, W, jobz, range, uplo, vl, vu, il, iu, Z)
+
+
+heevr = syevr
+
+
+def sygv(A, B, W, itype=1, jobz="N", uplo="L"):
+    """Generalized symmetric-definite eigenproblem (reference sygv)."""
+    a, b = _arr(A), _arr(B)
+    herm = a.dtype.kind == "c"
+    Af = _full_sym(a, uplo, herm)
+    Bf = _full_sym(b, uplo, herm)
+    w, v = sla.eigh(Af, Bf, type=itype)
+    _write(W, w)
+    if jobz == "V":
+        _write(A, v)
+    # B is overwritten with its Cholesky factor, as LAPACK does
+    c = np.linalg.cholesky(Bf) if uplo == "L" else \
+        np.linalg.cholesky(Bf).conj().T
+    _write(B, c)
+
+
+hegv = sygv
+
+
+def gesvd(A, S, jobu="N", jobvt="N", U=None, Vt=None):
+    a = _arr(A)
+    u, s, vt = np.linalg.svd(a, full_matrices=(jobu == "A" or
+                                               jobvt == "A"))
+    sv = np.asarray(S).reshape(-1).copy()
+    sv[: len(s)] = s
+    _write(S, sv)
+    if jobu in ("A", "S") and U is not None:
+        uu = np.asarray(U).copy()
+        uu[:, : u.shape[1]] = u[:, : uu.shape[1]]
+        _write(U, uu)
+    if jobvt in ("A", "S") and Vt is not None:
+        vv = np.asarray(Vt).copy()
+        vv[: vt.shape[0], :] = vt[: vv.shape[0], :]
+        _write(Vt, vv)
+    if jobu == "O":
+        _write(A, u[:, : min(a.shape)])
+    elif jobvt == "O":
+        _write(A, vt[: min(a.shape), :])
+
+
+gesdd = gesvd
+
+
+def gees(A, w, V=None, select=None):
+    """Schur decomposition A = V T V^H; T overwrites A, eigenvalues in w
+    (reference gees).  Returns the number of selected eigenvalues (0 when
+    no select function is given)."""
+    a = _arr(A)
+    if a.dtype.kind == "c":
+        T, Z, sdim = sla.schur(a, output="complex", sort=select)
+    else:
+        T, Z = sla.schur(a, output="real")
+        sdim = 0
+    _write(A, T)
+    ev = sla.eigvals(T)
+    wv = np.asarray(w).reshape(-1).astype(np.complex128)
+    wv[: len(ev)] = ev
+    _write(w, wv)
+    if V is not None:
+        _write(V, Z)
+    return int(sdim) if not isinstance(sdim, np.ndarray) else 0
+
+
+def gges(A, B, a=None, b=None, Vl=None, Vr=None, select=None):
+    """Generalized Schur: (A, B) -> (S, T) with unitary Vl, Vr
+    (reference gges)."""
+    Aa, Bb = _arr(A), _arr(B)
+    out = sla.qz(Aa, Bb, output="complex"
+                 if Aa.dtype.kind == "c" else "real")
+    S, T, Q, Z = out
+    _write(A, S)
+    _write(B, T)
+    if a is not None:
+        alpha = np.diag(S).astype(np.complex128)
+        av = np.asarray(a).reshape(-1).astype(np.complex128)
+        av[: len(alpha)] = alpha
+        _write(a, av)
+    if b is not None:
+        beta = np.diag(T).astype(np.complex128)
+        bv = np.asarray(b).reshape(-1).astype(np.complex128)
+        bv[: len(beta)] = beta.real if bv.dtype.kind != "c" else beta
+        _write(b, bv)
+    if Vl is not None:
+        _write(Vl, Q)
+    if Vr is not None:
+        _write(Vr, Z)
+    return 0
+
+
+# --- auxiliary -------------------------------------------------------------
+
+def lacpy(A, B, uplo=None):
+    a = _arr(A)
+    bv = np.asarray(B).copy()
+    if uplo == "L":
+        idx = np.tril_indices(min(a.shape[0], bv.shape[0]))
+        bv[idx] = a[idx]
+    elif uplo == "U":
+        idx = np.triu_indices(min(a.shape[0], bv.shape[0]))
+        bv[idx] = a[idx]
+    else:
+        bv[: a.shape[0], : a.shape[1]] = a
+    _write(B, bv)
+
+
+def larfg(alpha, x):
+    """Householder reflector generation (reference larfg): returns beta,
+    overwrites x with v (v[0] implied 1), alpha with beta."""
+    a = np.asarray(alpha).reshape(-1)[0]
+    xv = np.asarray(x).reshape(-1)
+    fn = _lp.zlarfg if np.iscomplexobj(xv) or np.iscomplexobj(a) \
+        else _lp.dlarfg
+    res = fn(len(xv) + 1, a, xv)
+    al, v, tau = res
+    _write(x, v)
+    _write(alpha, np.asarray([al]))
+    return tau
+
+
+def larfx(V, tau, C, side="L"):
+    """Apply the Householder reflector H = I - tau v v^H to C."""
+    v = np.asarray(V).reshape(-1, 1)
+    cc = np.asarray(C)
+    H = np.eye(len(v)) - tau * (v @ v.conj().T)
+    out = H @ cc if side == "L" else cc @ H
+    _write(C, out)
