@@ -1,0 +1,673 @@
+"""Piecewise-linear modeling DSL (reference src/python/modeling.py):
+variable, constraint, op, dot, and PWL max/min/abs/sum, with MPS I/O.
+
+Fresh design around an explicit normal form instead of the reference's
+operator-graph classes (modeling.py:250-1800):
+
+- `affine`: coeffs {variable: (m x n) matrix} + constant (length m).
+- convex PWL vector = affine + max-blocks, each block a list of affine
+  pieces (elementwise max); concave functions are stored as negated
+  convex ones.
+- scalar PWL = affine scalar + ('sum'|'max', pieces, m) terms.
+
+`op.solve()` canonicalizes PWL terms to auxiliary variables and linear
+inequalities (the role of the reference's _inmatrixform,
+modeling.py:2337), solves with kvxopt_tpu.solvers.lp, and writes values
+and multipliers back into the model objects.  MPS write/read
+(modeling.py:2640 tofile, :2760 fromfile) supports ROWS/COLUMNS/RHS/
+RANGES/BOUNDS.
+"""
+
+from __future__ import annotations
+
+import builtins
+import numbers
+
+import numpy as np
+
+from ..base import matrix
+
+_pymax, _pymin, _pysum = builtins.max, builtins.min, builtins.sum
+
+_var_counter = [0]
+
+
+class variable:
+    """Optimization variable (reference modeling.py:37)."""
+
+    def __init__(self, size=1, name=""):
+        size = int(size)
+        if size < 1:
+            raise TypeError("size must be a positive integer")
+        self._size = size
+        self.name = name or f"x{_var_counter[0]}"
+        _var_counter[0] += 1
+        self.value = None
+
+    def __len__(self):
+        return self._size
+
+    def _aff(self):
+        return affine({self: np.eye(self._size)}, np.zeros(self._size))
+
+    def __repr__(self):
+        return f"variable({self._size},'{self.name}')"
+
+    def __str__(self):
+        if self.value is None:
+            return f"variable({self._size},'{self.name}')\nvalue: None"
+        return f"variable({self._size},'{self.name}')\nvalue:\n" + \
+            str(self.value)
+
+    # arithmetic lifts to affine
+    def __add__(self, o): return self._aff() + o
+    def __radd__(self, o): return self._aff() + o
+    def __sub__(self, o): return self._aff() - o
+    def __rsub__(self, o): return (-self._aff()) + o
+    def __mul__(self, o): return self._aff() * o
+    def __rmul__(self, o): return self._aff().__rmul__(o)
+    def __neg__(self): return -self._aff()
+    def __getitem__(self, k): return self._aff()[k]
+    def __le__(self, o): return self._aff() <= o
+    def __ge__(self, o): return self._aff() >= o
+    def __eq__(self, o): return self._aff() == o
+    def __hash__(self): return id(self)
+    def __abs__(self): return abs(self._aff())
+
+
+def _const_vec(c, m=None):
+    if isinstance(c, numbers.Number):
+        return np.full(m if m else 1, float(c))
+    a = np.asarray(c, dtype=float).reshape(-1)
+    if m is not None and a.size == 1 and m != 1:
+        return np.full(m, a[0])
+    return a
+
+
+class affine:
+    """Affine vector function sum_v A_v v + b."""
+
+    __array_priority__ = 20.0
+
+    def __init__(self, coeffs, const):
+        self.coeffs = {v: np.atleast_2d(np.asarray(A, dtype=float))
+                       for v, A in coeffs.items()}
+        self.const = np.asarray(const, dtype=float).reshape(-1)
+        for v, A in self.coeffs.items():
+            if A.shape != (len(self.const), len(v)):
+                raise TypeError("coefficient dimensions do not match")
+
+    def __len__(self):
+        return len(self.const)
+
+    @staticmethod
+    def from_any(o, m=None):
+        if isinstance(o, affine):
+            return o
+        if isinstance(o, variable):
+            return o._aff()
+        return affine({}, _const_vec(o, m))
+
+    def _broadcast(self, m):
+        if len(self) == m:
+            return self
+        if len(self) == 1:
+            coeffs = {v: np.repeat(A, m, axis=0)
+                      for v, A in self.coeffs.items()}
+            return affine(coeffs, np.full(m, self.const[0]))
+        raise TypeError("incompatible dimensions")
+
+    def __add__(self, o):
+        if isinstance(o, pwl):
+            return o + self
+        o = affine.from_any(o, len(self))
+        m = _pymax(len(self), len(o))
+        a, b = self._broadcast(m), o._broadcast(m)
+        coeffs = dict(a.coeffs)
+        for v, A in b.coeffs.items():
+            coeffs[v] = coeffs.get(v, 0) + A
+        return affine(coeffs, a.const + b.const)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self + (-affine.from_any(o, len(self))
+                       if not isinstance(o, pwl) else -o)
+
+    def __rsub__(self, o):
+        return (-self) + o
+
+    def __neg__(self):
+        return affine({v: -A for v, A in self.coeffs.items()}, -self.const)
+
+    def __mul__(self, o):
+        if isinstance(o, numbers.Number):
+            return affine({v: o * A for v, A in self.coeffs.items()},
+                          o * self.const)
+        raise TypeError("affine functions can only be scaled by numbers "
+                        "on the right")
+
+    def __rmul__(self, o):
+        if isinstance(o, numbers.Number):
+            return self * o
+        M = np.atleast_2d(np.asarray(o, dtype=float))
+        if M.shape[1] != len(self):
+            if M.size == 1:
+                return self * float(M.reshape(-1)[0])
+            raise TypeError("incompatible dimensions")
+        return affine({v: M @ A for v, A in self.coeffs.items()},
+                      M @ self.const)
+
+    __rmatmul__ = __rmul__
+
+    def __getitem__(self, k):
+        idx = np.arange(len(self))[k]
+        idx = np.atleast_1d(idx)
+        coeffs = {v: A[idx, :] for v, A in self.coeffs.items()}
+        return affine(coeffs, self.const[idx])
+
+    def __abs__(self):
+        return pwl(affine({}, np.zeros(len(self))),
+                   [[self, -self]])
+
+    def __le__(self, o):
+        if isinstance(o, pwl):
+            return o.__ge__(self)
+        return constraint(self - affine.from_any(o, len(self)), "<")
+
+    def __ge__(self, o):
+        if isinstance(o, pwl):
+            return o.__le__(self)
+        return constraint(affine.from_any(o, len(self)) - self, "<")
+
+    def __eq__(self, o):
+        if isinstance(o, (pwl,)):
+            raise TypeError("equality requires affine functions")
+        return constraint(self - affine.from_any(o, len(self)), "=")
+
+    def __hash__(self):
+        return id(self)
+
+    def value(self):
+        out = self.const.copy()
+        for v, A in self.coeffs.items():
+            if v.value is None:
+                return None
+            out = out + A @ np.asarray(v.value, dtype=float).reshape(-1)
+        return matrix(out.reshape(-1, 1))
+
+    def variables(self):
+        return list(self.coeffs.keys())
+
+    def __repr__(self):
+        return f"<affine function of length {len(self)}>"
+
+    __str__ = __repr__
+
+
+class pwl:
+    """Convex piecewise-linear vector function: affine + sum of
+    elementwise max-blocks."""
+
+    def __init__(self, aff, blocks):
+        self.aff = aff
+        self.blocks = [[affine.from_any(p, len(aff)) for p in blk]
+                       for blk in blocks]
+
+    def __len__(self):
+        return len(self.aff)
+
+    def _flat_pieces(self):
+        """If single-block with zero extra affine terms? Flatten
+        aff + max(block) into pieces aff + p_k (valid for one block)."""
+        if len(self.blocks) != 1:
+            raise TypeError("cannot flatten a multi-block PWL function")
+        return [self.aff + p for p in self.blocks[0]]
+
+    def __add__(self, o):
+        if isinstance(o, pwl):
+            return pwl(self.aff + o.aff, self.blocks + o.blocks)
+        return pwl(self.aff + affine.from_any(o, len(self)), self.blocks)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, pwl):
+            raise TypeError("difference of PWL convex functions is not "
+                            "convex")
+        return self + (-affine.from_any(o, len(self)))
+
+    def __rsub__(self, o):
+        raise TypeError("negating a convex PWL function is not convex")
+
+    def __mul__(self, o):
+        if isinstance(o, numbers.Number):
+            if o < 0:
+                raise TypeError("PWL convex functions require nonnegative "
+                                "scalars")
+            return pwl(self.aff * o,
+                       [[p * o for p in blk] for blk in self.blocks])
+        raise TypeError("invalid product")
+
+    __rmul__ = __mul__
+
+    def __le__(self, o):
+        rhs = affine.from_any(o, len(self)) if not isinstance(o, pwl) \
+            else None
+        if rhs is None:
+            raise TypeError("PWL <= PWL is not convex")
+        return constraint(self + (-rhs), "<")
+
+    def __ge__(self, o):
+        raise TypeError("lower bounds on convex PWL functions are not "
+                        "convex")
+
+    def __repr__(self):
+        return f"<pwl function of length {len(self)}>"
+
+    __str__ = __repr__
+
+
+class pwl_scalar:
+    """Scalar convex PWL: affine scalar + ('sum'|'max', pieces, m)
+    terms."""
+
+    def __init__(self, aff, terms):
+        self.aff = aff  # affine of length 1
+        self.terms = terms
+
+    def __add__(self, o):
+        if isinstance(o, pwl_scalar):
+            return pwl_scalar(self.aff + o.aff, self.terms + o.terms)
+        return pwl_scalar(self.aff + affine.from_any(o, 1), self.terms)
+
+    __radd__ = __add__
+
+    def __mul__(self, o):
+        if isinstance(o, numbers.Number) and o >= 0:
+            return pwl_scalar(self.aff * o, [
+                (kind, [p * o for p in pieces], m)
+                for kind, pieces, m in self.terms])
+        raise TypeError("invalid product")
+
+    __rmul__ = __mul__
+
+    def __le__(self, o):
+        # t-lifted at solve time; represent as a constraint on the scalar
+        rhs = affine.from_any(o, 1)
+        return constraint(self + (-1.0 * rhs), "<")
+
+    def __repr__(self):
+        return "<scalar pwl function>"
+
+    __str__ = __repr__
+
+
+def dot(u, v):
+    """Inner product (reference modeling.py dot): matrix'affine or
+    affine'matrix."""
+    if isinstance(u, (variable, affine)) and not isinstance(
+            v, (variable, affine)):
+        u, v = v, u
+    a = affine.from_any(v)
+    c = np.asarray(u, dtype=float).reshape(-1)
+    return a.__rmul__(c.reshape(1, -1)) if len(c) > 1 else a * float(c[0])
+
+
+def sum(f):
+    """Sum of the components (reference modeling.py sum)."""
+    if isinstance(f, (variable, affine)):
+        a = affine.from_any(f)
+        ones = np.ones((1, len(a)))
+        return ones @ a
+    if isinstance(f, pwl):
+        ones = np.ones((1, len(f)))
+        aff = ones @ f.aff
+        terms = [("sum", blk, len(f)) for blk in f.blocks]
+        return pwl_scalar(aff, terms)
+    if isinstance(f, pwl_scalar):
+        return f
+    return _pysum(f)
+
+
+def max(*args):
+    """PWL max (reference modeling.py max via _minmax): with several
+    arguments, the elementwise maximum; with one affine/PWL argument, the
+    maximum over its components."""
+    if len(args) == 1:
+        f = args[0]
+        if isinstance(f, (variable, affine)):
+            a = affine.from_any(f)
+            return pwl_scalar(affine({}, np.zeros(1)),
+                              [("max", [a], len(a))])
+        if isinstance(f, pwl):
+            return pwl_scalar(affine({}, np.zeros(1)),
+                              [("max", f._flat_pieces(), len(f))])
+        return _pymax(f)
+    if not any(isinstance(a, (variable, affine, pwl)) for a in args):
+        return _pymax(*args)
+    m = _pymax(len(a) if isinstance(a, (variable, affine, pwl)) else 1
+               for a in args)
+    pieces = []
+    for a in args:
+        if isinstance(a, pwl):
+            pieces.extend(p._broadcast(m) for p in a._flat_pieces())
+        else:
+            pieces.append(affine.from_any(a, m)._broadcast(m))
+    return pwl(affine({}, np.zeros(m)), [pieces])
+
+
+def min(*args):
+    """Concave PWL min: implemented as -max(-args) (usable on the
+    greater-than side of constraints)."""
+    if len(args) == 1:
+        f = args[0]
+        if isinstance(f, (variable, affine, pwl)):
+            return _neg_pwl(max(-affine.from_any(f)
+                                if not isinstance(f, pwl) else _negate(f)))
+        return _pymin(f)
+    if not any(isinstance(a, (variable, affine, pwl)) for a in args):
+        return _pymin(*args)
+    neg = [(-affine.from_any(a)) if not isinstance(a, pwl)
+           else _negate(a) for a in args]
+    return _neg_pwl(max(*neg))
+
+
+class _neg_pwl:
+    """Concave wrapper: value = -inner (inner convex)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def __le__(self, o):
+        raise TypeError("upper bounds on concave functions are not convex")
+
+    def __ge__(self, o):
+        # -inner >= o  <=>  inner + o <= 0
+        if isinstance(self.inner, pwl):
+            return constraint(self.inner + affine.from_any(
+                o, len(self.inner)), "<")
+        return constraint(self.inner + affine.from_any(o, 1), "<")
+
+
+def _negate(f):
+    if isinstance(f, pwl):
+        raise TypeError("cannot negate a convex PWL function")
+    return -f
+
+
+class constraint:
+    """f (<|=) 0 (reference modeling.py:1833)."""
+
+    def __init__(self, f, kind, name=""):
+        self.f = f           # affine, pwl, or pwl_scalar; constraint f<=0
+        self.kind = kind     # '<' or '='
+        self.name = name
+        self.multiplier = variable(
+            len(f) if isinstance(f, (affine, pwl)) else 1,
+            name=f"mul_{name or id(self)}")
+
+    def type(self):
+        return self.kind
+
+    def __len__(self):
+        return len(self.f) if isinstance(self.f, (affine, pwl)) else 1
+
+    def value(self):
+        if isinstance(self.f, affine):
+            return self.f.value()
+        return None
+
+    def __repr__(self):
+        op_s = "<=" if self.kind == "<" else "=="
+        return f"<constraint of length {len(self)} ({op_s} 0)>"
+
+    __str__ = __repr__
+
+
+class op:
+    """Optimization problem container (reference modeling.py:2093)."""
+
+    def __init__(self, objective=0.0, constraints=None, name=""):
+        if constraints is None:
+            constraints = []
+        if isinstance(constraints, constraint):
+            constraints = [constraints]
+        self.objective = self._canon_objective(objective)
+        self._constraints = list(constraints)
+        self.name = name
+        self.status = None
+
+    @staticmethod
+    def _canon_objective(objective):
+        if isinstance(objective, numbers.Number):
+            return affine({}, np.asarray([float(objective)]))
+        if isinstance(objective, variable):
+            objective = objective._aff()
+        if isinstance(objective, (affine, pwl_scalar)):
+            if isinstance(objective, affine) and len(objective) != 1:
+                raise TypeError("objective must be scalar")
+            return objective
+        if isinstance(objective, pwl):
+            if len(objective) != 1:
+                raise TypeError("objective must be scalar")
+            return pwl_scalar(objective.aff,
+                              [("sum", blk, 1) for blk in objective.blocks])
+        raise TypeError(f"invalid objective {type(objective)}")
+
+    def variables(self):
+        seen = []
+        seen_ids = set()
+        def add(f):
+            if isinstance(f, (affine,)):
+                for v in f.coeffs:
+                    if id(v) not in seen_ids:
+                        seen_ids.add(id(v))
+                        seen.append(v)
+            elif isinstance(f, pwl):
+                add(f.aff)
+                for blk in f.blocks:
+                    for p in blk:
+                        add(p)
+            elif isinstance(f, pwl_scalar):
+                add(f.aff)
+                for _, pieces, _ in f.terms:
+                    for p in pieces:
+                        add(p)
+        add(self.objective)
+        for c in self._constraints:
+            add(c.f)
+        return seen
+
+    def constraints(self):
+        return list(self._constraints)
+
+    def inequalities(self):
+        return [c for c in self._constraints if c.kind == "<"]
+
+    def equalities(self):
+        return [c for c in self._constraints if c.kind == "="]
+
+    def addconstraint(self, c):
+        self._constraints.append(c)
+
+    def delconstraint(self, c):
+        self._constraints.remove(c)
+
+    # -- canonicalization + solve ---------------------------------------
+
+    def _build_lp(self):
+        """Lower PWL terms to auxiliary variables; returns
+        (c, G, h, A, b, var_index, ineq_rows) where var_index maps
+        variable -> column slice and ineq_rows maps constraint ->
+        (start, length) rows of G."""
+        varlist = self.variables()
+        aux = []
+
+        obj = self.objective
+        obj_terms = []
+        if isinstance(obj, pwl_scalar):
+            for kind, pieces, m in obj.terms:
+                t = variable(m if kind == "sum" else 1,
+                             name=f"_aux{len(aux)}")
+                aux.append(t)
+                obj_terms.append((kind, pieces, m, t))
+
+        con_aux = []
+        for c in self._constraints:
+            if isinstance(c.f, pwl):
+                blocks_aux = []
+                for blk in c.f.blocks:
+                    t = variable(len(c.f), name=f"_aux{len(aux)}")
+                    aux.append(t)
+                    blocks_aux.append((blk, t))
+                con_aux.append((c, blocks_aux))
+            elif isinstance(c.f, pwl_scalar):
+                terms_aux = []
+                for kind, pieces, m in c.f.terms:
+                    t = variable(m if kind == "sum" else 1,
+                                 name=f"_aux{len(aux)}")
+                    aux.append(t)
+                    terms_aux.append((kind, pieces, m, t))
+                con_aux.append((c, terms_aux))
+            else:
+                con_aux.append((c, None))
+
+        allvars = varlist + aux
+        ofs, var_index = 0, {}
+        for v in allvars:
+            var_index[v] = slice(ofs, ofs + len(v))
+            ofs += len(v)
+        nvar = ofs
+
+        def emit(f, sign=1.0):
+            row = np.zeros((len(f), nvar))
+            for v, A in f.coeffs.items():
+                row[:, var_index[v]] += sign * A
+            return row, sign * f.const
+
+        cvec = np.zeros(nvar)
+        const0 = 0.0
+        if isinstance(obj, affine):
+            r, cst = emit(obj)
+            cvec += r[0]
+            const0 = cst[0]
+        else:
+            r, cst = emit(obj.aff)
+            cvec += r[0]
+            const0 = cst[0]
+            for kind, pieces, m, t in obj_terms:
+                cvec[var_index[t]] += 1.0
+
+        Grows, hrows = [], []
+        Arows, brows = [], []
+        ineq_rows = {}
+
+        def add_term_rows(kind, pieces, m, t):
+            # pieces - t <= 0  (t broadcast for 'max')
+            for p in pieces:
+                row, cst = emit(p._broadcast(m))
+                if kind == "sum":
+                    row[:, var_index[t]] -= np.eye(m)
+                else:
+                    row[:, var_index[t]] -= 1.0
+                Grows.append(row)
+                hrows.append(-cst)
+
+        for kind, pieces, m, t in obj_terms:
+            add_term_rows(kind, pieces, m, t)
+
+        for c, aux_info in con_aux:
+            start = _pysum(r.shape[0] for r in Grows)
+            if isinstance(c.f, affine):
+                row, cst = emit(c.f)
+                if c.kind == "<":
+                    Grows.append(row)
+                    hrows.append(-cst)
+                    ineq_rows[c] = (start, len(c.f))
+                else:
+                    Arows.append(row)
+                    brows.append(-cst)
+            elif isinstance(c.f, pwl):
+                for blk, t in aux_info:
+                    add_term_rows("sum", blk, len(c.f), t)
+                # aff + sum_t t <= 0
+                start = _pysum(r.shape[0] for r in Grows)
+                row, cst = emit(c.f.aff)
+                for blk, t in aux_info:
+                    row[:, var_index[t]] += np.eye(len(c.f))
+                Grows.append(row)
+                hrows.append(-cst)
+                ineq_rows[c] = (start, len(c.f))
+            else:  # pwl_scalar
+                for kind, pieces, m, t in aux_info:
+                    add_term_rows(kind, pieces, m, t)
+                start = _pysum(r.shape[0] for r in Grows)
+                row, cst = emit(c.f.aff)
+                for kind, pieces, m, t in aux_info:
+                    row[:, var_index[t]] += 1.0
+                Grows.append(row)
+                hrows.append(-cst)
+                ineq_rows[c] = (start, 1)
+
+        G = np.vstack(Grows) if Grows else np.zeros((0, nvar))
+        h = np.concatenate(hrows) if hrows else np.zeros(0)
+        A = np.vstack(Arows) if Arows else None
+        b = np.concatenate(brows) if Arows else None
+        return (cvec, const0, G, h, A, b, var_index, ineq_rows,
+                varlist, con_aux)
+
+
+    def solve(self, format="dense", solver=None, options=None):
+        """Canonicalize and solve (reference modeling.py:2579)."""
+        from ..solvers import lp
+        (cvec, const0, G, h, A, b, var_index, ineq_rows, varlist,
+         con_aux) = self._build_lp()
+        if G.shape[0] == 0:
+            # ensure a nonempty cone for the solver
+            G = np.zeros((1, len(cvec)))
+            h = np.ones(1)
+        if format == "sparse":
+            from ..base import sparse, matrix as _m
+            sol = lp(cvec, sparse(_m(G)), h, A, b, solver=solver,
+                     options=options)
+        else:
+            sol = lp(cvec, G, h, A, b, solver=solver, options=options)
+        self.status = sol["status"]
+        if sol.get("x") is not None:
+            x = np.asarray(sol["x"]).reshape(-1)
+            for v in varlist:
+                v.value = matrix(x[var_index[v]].copy().reshape(-1, 1))
+        if sol.get("z") is not None and self.status == "optimal":
+            z = np.asarray(sol["z"]).reshape(-1)
+            for c, _ in con_aux:
+                if c in ineq_rows:
+                    s0, m = ineq_rows[c]
+                    c.multiplier.value = matrix(
+                        z[s0:s0 + m].copy().reshape(-1, 1))
+            y = np.asarray(sol["y"]).reshape(-1) if sol.get("y") is not \
+                None else np.zeros(0)
+            ofs = 0
+            for c, _ in con_aux:
+                if c.kind == "=":
+                    m = len(c)
+                    c.multiplier.value = matrix(
+                        y[ofs:ofs + m].copy().reshape(-1, 1))
+                    ofs += m
+        return self.status
+
+    # -- MPS I/O ---------------------------------------------------------
+
+    def tofile(self, f):
+        from .mps import write_mps
+        write_mps(self, f)
+
+    def fromfile(self, f):
+        from .mps import read_mps
+        read_mps(self, f)
+
+    def __repr__(self):
+        return f"<optimization problem with {len(self._constraints)} " \
+               f"constraints>"
+
+    __str__ = __repr__

@@ -1,0 +1,139 @@
+"""Modeling DSL: the reference's test_modeling.py cases (scalar LP,
+matrix LP, PWL at m=500, boeing2.mps) plus multiplier checks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kvxopt_tpu import matrix, normal, setseed
+from kvxopt_tpu.modeling import op, variable, dot, max, min, sum
+
+
+def test_exceptions():
+    with pytest.raises(TypeError):
+        variable(0)
+
+
+def test_scalar_lp():
+    x = variable()
+    y = variable()
+    c1 = (2 * x + y <= 3)
+    c2 = (x + 2 * y <= 3)
+    c3 = (x >= 0)
+    c4 = (y >= 0)
+    lp1 = op(-4 * x - 5 * y, [c1, c2, c3, c4])
+    assert repr(x) and str(x) and repr(lp1) and str(lp1)
+    lp1.solve()
+    assert lp1.status == "optimal"
+    np.testing.assert_allclose(np.asarray(x.value).reshape(-1), [1.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y.value).reshape(-1), [1.0],
+                               atol=1e-5)
+    # multipliers of the binding constraints are positive
+    assert np.asarray(c1.multiplier.value).item() > 0.1
+    assert np.asarray(c2.multiplier.value).item() > 0.1
+
+
+def test_matrix_lp():
+    x = variable(2)
+    A = matrix([[2.0, 1.0, -1.0, 0.0], [1.0, 2.0, 0.0, -1.0]])
+    b = matrix([3.0, 3.0, 0.0, 0.0])
+    c = matrix([-4.0, -5.0])
+    ineq = (A * x <= b)
+    lp2 = op(dot(c, x), ineq)
+    lp2.solve()
+    assert lp2.status == "optimal"
+    assert abs(lp2.objective.value()[0] - (-9.0)) < 1e-4
+    z = np.asarray(ineq.multiplier.value).reshape(-1)
+    assert len(z) == 4 and (z >= -1e-6).all()
+
+
+def test_pwl_problems():
+    m, n = 200, 40
+    setseed(100)
+    A = normal(m, n)
+    b = normal(m)
+
+    x1 = variable(n)
+    lp1 = op(max(abs(A * x1 - b)))
+    lp1.solve()
+    assert lp1.status == "optimal"
+    # oracle: Chebyshev approximation via scipy linprog
+    from scipy.optimize import linprog
+    An, bn = np.asarray(A), np.asarray(b).reshape(-1)
+    cc = np.zeros(n + 1); cc[-1] = 1.0
+    Gu = np.hstack([An, -np.ones((m, 1))])
+    Gl = np.hstack([-An, -np.ones((m, 1))])
+    res = linprog(cc, A_ub=np.vstack([Gu, Gl]),
+                  b_ub=np.concatenate([bn, -bn]),
+                  bounds=(None, None), method="highs")
+    obj1 = float(np.max(np.abs(An @ np.asarray(
+        x1.value).reshape(-1) - bn)))
+    np.testing.assert_allclose(obj1, res.fun, atol=1e-5)
+
+    x2 = variable(n)
+    lp2 = op(sum(abs(A * x2 - b)))
+    lp2.solve()
+    assert lp2.status == "optimal"
+
+    x3 = variable(n)
+    lp3 = op(sum(max(0, abs(A * x3 - b) - 0.75,
+                     2 * abs(A * x3 - b) - 2.25)))
+    lp3.solve()
+    assert lp3.status == "optimal"
+
+
+def test_min_constraint():
+    # maximize-like: min(x, 4 - x) >= 1  ->  x in [1, 3]
+    x = variable()
+    c = (min(x, 4 - x) >= 1)
+    prob = op(x, [c])
+    prob.solve()
+    assert prob.status == "optimal"
+    np.testing.assert_allclose(np.asarray(x.value).reshape(-1), [1.0],
+                               atol=1e-5)
+
+
+def test_variable_indexing():
+    x = variable(3)
+    c = (x[0] + x[1] + x[2] == 1)
+    prob = op(x[0] - 2 * x[2], [c, x >= 0])
+    prob.solve()
+    assert prob.status == "optimal"
+    np.testing.assert_allclose(np.asarray(x.value).reshape(-1),
+                               [0, 0, 1.0], atol=1e-5)
+
+
+def test_mps_roundtrip(tmp_path):
+    x = variable(2)
+    prob = op(dot(matrix([-4.0, -5.0]), x),
+              [matrix([[2.0, 1.0, -1.0, 0.0],
+                       [1.0, 2.0, 0.0, -1.0]]) * x <=
+               matrix([3.0, 3.0, 0.0, 0.0])])
+    p = tmp_path / "prob.mps"
+    prob.tofile(str(p))
+    lp = op()
+    lp.fromfile(str(p))
+    lp.solve()
+    assert lp.status == "optimal"
+    assert abs(lp.objective.value()[0] - (-9.0)) < 1e-4
+
+
+def test_boeing2():
+    path = "/root/reference/tests/boeing2.mps"
+    if not os.path.exists(path):
+        pytest.skip("boeing2.mps not available")
+    lp = op()
+    lp.fromfile(path)
+    lp.solve()
+    assert lp.status == "optimal"
+    # cross-check objective with scipy HiGHS on the same parsed data
+    from scipy.optimize import linprog
+    (cvec, const0, G, h, A, b, var_index, ineq_rows, varlist,
+     con_aux) = lp._build_lp()
+    res = linprog(cvec, A_ub=G, b_ub=h,
+                  A_eq=A, b_eq=b, bounds=(None, None), method="highs")
+    assert res.status == 0
+    np.testing.assert_allclose(lp.objective.value()[0], res.fun,
+                               rtol=1e-5, atol=1e-5)
