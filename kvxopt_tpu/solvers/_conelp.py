@@ -376,10 +376,20 @@ def _tk_step(tau, kappa, dt, dk):
 def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
        dualstart=None, kktsolver=None, options=None):
     """LP: minimize c'x s.t. Gx <= h, Ax = b.  `solver` accepts None
-    (native conelp) or 'glpk' (bridged, see kvxopt_tpu.glpk)."""
+    (native conelp), 'glpk' (HiGHS-backed bridge), 'osqp' (native JAX
+    ADMM), or 'mosek' (requires the mosek package) — the reference's
+    dispatch contract (coneprog.py:2807-2838)."""
     if solver == "glpk":
         from .. import glpk
         return glpk.lp_bridge(c, G, h, A, b, options=options)
+    if solver == "osqp":
+        from .. import osqp as _osqp
+        return _osqp.qp_bridge(None, c, G, h, A, b, options=options)
+    if solver == "mosek":
+        from .. import msk
+        status, x = msk.lp(c, G, h, A, b, options=options)
+        return {"status": "optimal" if "optimal" in str(status).lower()
+                else "unknown", "x": x, "y": None, "z": None, "s": None}
     h = np.asarray(h, dtype=float).reshape(-1)
     return conelp(c, G, h, {"l": h.shape[0]}, A, b,
                   primalstart=primalstart, dualstart=dualstart,
@@ -442,7 +452,16 @@ def sdp(c, Gl=None, hl=None, Gs=None, hs=None, A=None, b=None,
     """SDP in natural form: minimize c'x s.t. Gl x <= hl and
     sum_i x_i (Gs[k] column i, reshaped) <= hs[k] in the PSD order
     (reference coneprog.py:3597; Gs[k] columns are vectorized coefficient
-    matrices, hs[k] square matrices)."""
+    matrices, hs[k] square matrices).  solver='dsdp' routes through the
+    DSDP-interface bridge (reference coneprog.py:3924)."""
+    if solver == "dsdp":
+        from .. import dsdp as _dsdp
+        status, x, r, zl, zs = _dsdp.sdp(c, Gl, hl, Gs, hs,
+                                         options=(options or {}).get(
+                                             "dsdp"))
+        return {"status": "optimal" if status == "DSDP_PDFEASIBLE"
+                else "unknown", "x": x, "zl": zl, "zs": zs,
+                "y": None, "s": None}
     c = np.asarray(c, dtype=float).reshape(-1)
     Gparts, hparts, sl = [], [], []
     l = 0

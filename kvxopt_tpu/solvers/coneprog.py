@@ -360,7 +360,20 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
 def qp(P, q, G=None, h=None, A=None, b=None, solver=None, initvals=None,
        kktsolver=None, options=None):
     """Natural-form QP (reference coneprog.py:4187): minimize
-    (1/2)x'Px + q'x s.t. Gx <= h, Ax = b."""
+    (1/2)x'Px + q'x s.t. Gx <= h, Ax = b.  solver in (None, 'osqp',
+    'mosek', 'gurobi') per the reference's dispatch
+    (coneprog.py:4374-4426)."""
+    if solver == "osqp":
+        from .. import osqp as _osqp
+        return _osqp.qp_bridge(P, q, G, h, A, b, options=options)
+    if solver == "gurobi":
+        from .. import gurobi as _gurobi
+        status, x = _gurobi.qp(q, G, h, A, b, P, options=options)
+        return {"status": status, "x": x, "y": None, "z": None,
+                "s": None}
+    if solver == "mosek":
+        from .. import msk
+        return msk.qp(P, q, G, h, A, b, options=options)
     if G is None and h is None:
         raise ValueError("qp requires inequality constraints G, h")
     h = np.asarray(h, dtype=float).reshape(-1)

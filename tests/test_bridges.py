@@ -1,0 +1,165 @@
+"""External-solver bridges: glpk (HiGHS), osqp (native JAX ADMM), dsdp
+(conelp-backed), mosek/gurobi absence handling — mirroring the
+reference's test_glpk.py / test_osqp.py / test_dsdp.py."""
+
+import numpy as np
+import pytest
+
+from kvxopt_tpu import matrix, sparse, spdiag, glpk, osqp, dsdp, solvers
+
+
+@pytest.fixture
+def lp_data():
+    c = matrix([-4.0, -5.0])
+    G = matrix([[2.0, 1.0, -1.0, 0.0], [1.0, 2.0, 0.0, -1.0]])
+    h = matrix([3.0, 3.0, 0.0, 0.0])
+    A = matrix([1.0, 1.0], (1, 2))
+    b = matrix(1.0)
+    return c, G, h, A, b
+
+
+OSQP_OPTS = {"verbose": 0, "eps_abs": 1e-9, "eps_rel": 1e-9,
+             "max_iter": 10000, "rho": 0.1, "adaptive_rho": False,
+             "polish": False, "check_termination": 1, "warm_start": True}
+
+
+def test_glpk_lp(lp_data):
+    c, G, h, A, b = lp_data
+    sol1 = solvers.lp(c, G, h)
+    assert sol1["status"] == "optimal"
+    sol3 = solvers.lp(c, G, h, solver="glpk")
+    assert sol3["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol3["x"]).reshape(-1),
+                               np.asarray(sol1["x"]).reshape(-1), atol=1e-5)
+    sol4 = solvers.lp(c, G, h, A, b, solver="glpk")
+    assert sol4["status"] == "optimal"
+    sol5 = glpk.lp(c, G, h)
+    assert sol5[0] == "optimal"
+    sol6 = glpk.lp(c, G, h, A, b)
+    assert sol6[0] == "optimal"
+    sol7 = glpk.lp(c, G, h, None, None)
+    assert sol7[0] == "optimal"
+
+
+def test_glpk_ilp(lp_data):
+    c, G, h, A, b = lp_data
+    sol1 = glpk.ilp(c, G, h, A, b, set([0]), set())
+    assert sol1[0] == "optimal"
+    sol3 = glpk.ilp(c, G, h, None, None, set([0, 1]), set())
+    assert sol3[0] == "optimal"
+    x = np.asarray(sol3[1]).reshape(-1)
+    assert np.allclose(x, np.round(x))
+    sol4 = glpk.ilp(c, G, h, None, None, set(), set([1]))
+    assert sol4[0] == "optimal"
+    assert 0.0 <= np.asarray(sol4[1]).reshape(-1)[1] <= 1.0
+    sol5 = glpk.ilp(c, G, h, A, matrix(-1.0), set(), set([0, 1]))
+    assert sol5[0] == "LP relaxation is primal infeasible"
+
+
+def test_glpk_options(lp_data):
+    c, G, h, A, b = lp_data
+    glpk.options = {"msg_lev": "GLP_MSG_OFF"}
+    assert glpk.lp(c, G, h)[0] == "optimal"
+    assert glpk.lp(c, G, h, options={"msg_lev": "GLP_MSG_ON"})[0] == \
+        "optimal"
+    sol = solvers.lp(c, G, h, solver="glpk",
+                     options={"glpk": {"msg_lev": "GLP_MSG_ON"}})
+    assert sol["status"] == "optimal"
+
+
+def test_osqp_lp(lp_data):
+    c, G, h, A, b = lp_data
+    sol1 = solvers.lp(c, G, h)
+    sol2 = solvers.lp(c, G, h, solver="osqp",
+                      options={"osqp": OSQP_OPTS})
+    assert sol2["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol2["x"]).reshape(-1),
+                               np.asarray(sol1["x"]).reshape(-1), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(sol2["z"]).reshape(-1),
+                               np.asarray(sol1["z"]).reshape(-1), atol=1e-2)
+    sol5 = osqp.qp(c, G, h, options=OSQP_OPTS)
+    assert sol5[0] == "solved"
+    sol6 = osqp.qp(c, G, h, A, b, options=OSQP_OPTS)
+    assert sol6[0] == "solved"
+
+
+def test_osqp_qp():
+    # the OSQP documentation example (also reference test_osqp.py:test_qp)
+    q = matrix([1.0, 1.0])
+    P = sparse(matrix([[4.0, 1.0], [1.0, 2.0]]))
+    G = sparse(matrix([[1.0, 1, 0, -1, -1, 0], [1.0, 0, 1, -1, 0, -1]]))
+    h = matrix([1.0, 0.7, 0.7, -1, 0, 0])
+    sol = solvers.qp(P, q, G, h, solver="osqp",
+                     options={"osqp": OSQP_OPTS})
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]).reshape(-1),
+                               [0.3, 0.7], atol=1e-2)
+    np.testing.assert_allclose(sol["primal objective"], 1.88, atol=1e-4)
+
+
+def test_osqp_qp_with_equalities():
+    q = matrix([1.0, 1.0])
+    P = 2 * sparse(matrix([[2.0, 0.5], [0.5, 1.0]]))
+    G = sparse(matrix([[-1.0, 0.0], [0.0, -1.0]]))
+    h = matrix([0.0, 0.0])
+    A = sparse([1.0, 1.0]).T
+    b = matrix(1.0)
+    sol = solvers.qp(P, q, G, h, A, b, solver="osqp", options=OSQP_OPTS)
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]).reshape(-1),
+                               [0.25, 0.75], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(sol["y"]).reshape(-1),
+                               [-2.75], atol=1e-2)
+    np.testing.assert_allclose(sol["primal objective"], 1.875, atol=1e-3)
+
+
+def test_osqp_native_format():
+    P = spdiag([11.0, 0.0])
+    q = matrix([3.0, 4.0])
+    A = sparse([[-1.0, 0], [0, -1.0], [-1.0, -3], [2.0, 5], [3.0, 4]]).T
+    u = matrix([0.0, 0.0, -15.0, 100.0, 80.0])
+    l = -1e6 * matrix(1.0, u.size)
+    res, x1, y1 = osqp.solve(q, A, l, u, P, options=OSQP_OPTS)
+    assert res == "solved"
+    np.testing.assert_allclose(np.asarray(x1).reshape(-1), [0.0, 5.0],
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(y1).reshape(-1),
+                               [1.66666667, 0.0, 1.33333333, 0.0, 0.0],
+                               atol=1e-2)
+
+
+@pytest.fixture
+def sdp_data():
+    c = matrix([1.0, -1.0, 1.0])
+    G = [matrix([[-7.0, -11.0, -11.0, 3.0],
+                 [7.0, -18.0, -18.0, 8.0],
+                 [-2.0, -8.0, -8.0, 1.0]])]
+    G += [matrix([[-21.0, -11.0, 0.0, -11.0, 10.0, 8.0, 0.0, 8.0, 5.0],
+                  [0.0, 10.0, 16.0, 10.0, -10.0, -10.0, 16.0, -10.0,
+                   3.0],
+                  [-5.0, 2.0, -17.0, 2.0, -6.0, 8.0, -17.0, 8.0, 6.0]])]
+    h = [matrix([[33.0, -9.0], [-9.0, 26.0]])]
+    h += [matrix([[14.0, 9.0, 40.0], [9.0, 91.0, 10.0],
+                  [40.0, 10.0, 15.0]])]
+    return c, G, h
+
+
+def test_dsdp_sdp(sdp_data):
+    c, Gs, hs = sdp_data
+    sol_ref = solvers.sdp(c, None, None, Gs, hs)
+    assert sol_ref["status"] == "optimal"
+    sol1 = solvers.sdp(c, None, None, Gs, hs, solver="dsdp")
+    assert sol1["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol1["x"]).reshape(-1),
+                               np.asarray(sol_ref["x"]).reshape(-1), atol=1e-4)
+    sol3 = dsdp.sdp(c, None, None, Gs, hs)
+    assert sol3[0] == "DSDP_PDFEASIBLE"
+    sol4 = dsdp.sdp(c, Gs=Gs, hs=hs, options={"DSDP_MaxIts": 2})
+    assert sol4[0] == "DSDP_UNKNOWN"
+
+
+def test_mosek_gurobi_absent():
+    with pytest.raises(ImportError):
+        from kvxopt_tpu import msk  # noqa: F401
+    with pytest.raises(ImportError):
+        from kvxopt_tpu import gurobi  # noqa: F401
