@@ -1,0 +1,145 @@
+"""Cone-algebra utility layer with the reference's misc.py surface
+(reference src/python/misc.py: compute_scaling :250, update_scaling :422,
+scale/scale2, pack/unpack, sdot/snrm2, sprod/sinv/ssqr, max_step, sgemv,
+and the five kkt_* strategies :1055-1570).
+
+Functional adapters over kvxopt_tpu.cones / kvxopt_tpu.kkt: where the
+reference mutates matrices in place, these return new arrays (the
+jit-compatible design); dims may be a ConeDims or the reference's
+{'l':..., 'q':[...], 's':[...]} dict."""
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from . import cones as _c
+from . import kkt as _k
+from .cones import ConeDims, NTScaling  # noqa: F401
+
+
+def _dims(dims):
+    return ConeDims.from_dict(dims)
+
+
+def sdot(x, y, dims, mnl=0):
+    return float(_c.sdot(_dims(dims).with_extra_l(mnl), jnp.asarray(x),
+                         jnp.asarray(y)))
+
+
+def snrm2(x, dims, mnl=0):
+    return float(_c.snrm2(_dims(dims).with_extra_l(mnl), jnp.asarray(x)))
+
+
+def sprod(x, y, dims, mnl=0, diag="N"):
+    return _c.sprod(_dims(dims).with_extra_l(mnl), jnp.asarray(x),
+                    jnp.asarray(y), diag=(diag == "D"))
+
+
+def sinv(x, y, dims, mnl=0):
+    return _c.sinv(_dims(dims).with_extra_l(mnl), jnp.asarray(y),
+                   jnp.asarray(x))
+
+
+def ssqr(x, dims, mnl=0):
+    return _c.ssqr(_dims(dims).with_extra_l(mnl), jnp.asarray(x))
+
+
+def max_step(x, dims, mnl=0, sigma=None):
+    return float(_c.max_step(_dims(dims).with_extra_l(mnl),
+                             jnp.asarray(x)))
+
+
+def compute_scaling(s, z, lmbda=None, dims=None, mnl=0):
+    d = _dims(dims).with_extra_l(mnl)
+    W, lam = _c.compute_scaling(d, jnp.asarray(s), jnp.asarray(z))
+    return W, lam
+
+
+def update_scaling(W, lmbda, s, z, dims=None, mnl=0):
+    d = _dims(dims).with_extra_l(mnl) if dims is not None else None
+    if d is None:
+        raise ValueError("dims required")
+    return _c.update_scaling(d, W, jnp.asarray(s), jnp.asarray(z))
+
+
+def scale(x, W, dims, trans="N", inverse="N", mnl=0):
+    return _c.scale(_dims(dims).with_extra_l(mnl), W, jnp.asarray(x),
+                    trans=(trans == "T"), inverse=(inverse == "I"))
+
+
+def scale2(lmbda, x, dims, mnl=0, inverse="N"):
+    return _c.scale2(_dims(dims).with_extra_l(mnl), jnp.asarray(lmbda),
+                     jnp.asarray(x), inverse=(inverse == "I"))
+
+
+def pack(x, dims, mnl=0):
+    return _c.pack(_dims(dims).with_extra_l(mnl), jnp.asarray(x))
+
+
+pack2 = pack
+
+
+def unpack(x, dims, mnl=0):
+    return _c.unpack(_dims(dims).with_extra_l(mnl), jnp.asarray(x))
+
+
+def symm(x, dims, mnl=0):
+    return _c.symm(_dims(dims).with_extra_l(mnl), jnp.asarray(x))
+
+
+def sgemv(A, x, y, dims, trans="N", alpha=1.0, beta=0.0, mnl=0):
+    """y := alpha A x + beta y over cone vectors (reference misc.py
+    sgemv); functional — returns the result."""
+    A = jnp.asarray(A)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if trans == "T":
+        return alpha * (A.T @ x) + beta * y
+    return alpha * (A @ x) + beta * y
+
+
+def jdot(x, y=None):
+    x = jnp.asarray(x)
+    if y is None:
+        return float(_c.jdot(x))
+    y = jnp.asarray(y)
+    return float(x[0] * y[0] - jnp.dot(x[1:], y[1:]))
+
+
+def jnrm2(x):
+    return float(_c.jnrm2(jnp.asarray(x)))
+
+
+# KKT strategies with the reference's names (misc.py:1055-1570)
+def kkt_ldl(G, dims, A, mnl=0, kktreg=0.0):
+    return _k.make_kkt_solver("ldl", _dims(dims), jnp.asarray(G),
+                              jnp.asarray(A) if A is not None else None,
+                              mnl=mnl, reg=kktreg)
+
+
+def kkt_ldl2(G, dims, A, mnl=0, kktreg=0.0):
+    return _k.make_kkt_solver("ldl2", _dims(dims), jnp.asarray(G),
+                              jnp.asarray(A) if A is not None else None,
+                              mnl=mnl, reg=kktreg)
+
+
+def kkt_chol(G, dims, A, mnl=0):
+    return _k.make_kkt_solver("chol", _dims(dims), jnp.asarray(G),
+                              jnp.asarray(A) if A is not None else None,
+                              mnl=mnl)
+
+
+def kkt_chol2(G, dims, A, mnl=0):
+    return _k.make_kkt_solver("chol2", _dims(dims), jnp.asarray(G),
+                              jnp.asarray(A) if A is not None else None,
+                              mnl=mnl)
+
+
+def kkt_qr(G, dims, A, mnl=0):
+    return _k.make_kkt_solver("qr", _dims(dims), jnp.asarray(G),
+                              jnp.asarray(A) if A is not None else None,
+                              mnl=mnl)
+
+
+use_C = True  # parity flag: the reference toggles C kernels (misc.py:25);
+              # here the accelerated path is always the jitted one.

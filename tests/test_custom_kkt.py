@@ -1,0 +1,155 @@
+"""The conelp/coneqp customization contract (reference
+tests/test_custom_kkt.py): the same problem solved once with a
+structure-exploiting custom kktsolver + operator-form G, and once with
+dense defaults — results must agree.
+
+Problems: l1-norm approximation (LP, custom solver reduces the KKT system
+to A' diag(w) A, the reference's l1.py trick) and l1-regularized least
+squares (coneqp path)."""
+
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from kvxopt_tpu import cones
+from kvxopt_tpu.cones import ConeDims
+from kvxopt_tpu.solvers import conelp, coneqp
+
+
+def l1_problem(m, n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+def solve_l1_default(A, b):
+    m, n = A.shape
+    c = jnp.concatenate([jnp.zeros(n), jnp.ones(m)])
+    G = jnp.block([[A, -jnp.eye(m)], [-A, -jnp.eye(m)]])
+    h = jnp.concatenate([b, -b])
+    return conelp(c, G, h, ConeDims(l=2 * m))
+
+
+def solve_l1_custom(A, b):
+    """Operator G + custom kktsolver exploiting the [A -I; -A -I]
+    structure: the 3x3 system reduces to an n x n SPD solve with
+    A' diag(4pq/(p+q)) A."""
+    m, n = A.shape
+    c = jnp.concatenate([jnp.zeros(n), jnp.ones(m)])
+    h = jnp.concatenate([b, -b])
+    dims = ConeDims(l=2 * m)
+
+    def G(v, trans=False):
+        if trans:
+            z1, z2 = v[:m], v[m:]
+            return jnp.concatenate([A.T @ (z1 - z2), -z1 - z2])
+        x, u = v[:n], v[n:]
+        Ax = A @ x
+        return jnp.concatenate([Ax - u, -Ax - u])
+
+    def kktsolver(W, H=None, Df=None):
+        d = W.d
+        p = 1.0 / d[:m] ** 2
+        q = 1.0 / d[m:] ** 2
+        S = p + q
+        w = 4.0 * p * q / S
+        M = (A.T * w[None, :]) @ A
+        C = cho_factor(M, lower=True)
+
+        def solve(bx, by, bz):
+            bx_x, bx_u = bx[:n], bx[n:]
+            bz1, bz2 = bz[:m], bz[m:]
+            cu = bx_u - p * bz1 - q * bz2
+            r = bx_x + A.T @ ((p - q) / S * cu + p * bz1 - q * bz2)
+            x = cho_solve(C, r)
+            Ax = A @ x
+            u = (cu + (p - q) * Ax) / S
+            z1 = p * (Ax - u - bz1)
+            z2 = q * (-Ax - u - bz2)
+            return (jnp.concatenate([x, u]),
+                    jnp.zeros((0,), bx.dtype),
+                    jnp.concatenate([z1, z2]))
+
+        return solve
+
+    return conelp(c, G, h, dims, kktsolver=kktsolver)
+
+
+def test_l1_custom_kkt_matches_default():
+    A, b = l1_problem(60, 20)
+    sol1 = solve_l1_default(A, b)
+    sol2 = solve_l1_custom(A, b)
+    assert sol1["status"] == "optimal"
+    assert sol2["status"] == "optimal"
+    n = A.shape[1]
+    x1 = np.asarray(sol1["x"])[:n]
+    x2 = np.asarray(sol2["x"])[:n]
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(A) @ x1 - np.asarray(b), 1),
+        np.linalg.norm(np.asarray(A) @ x2 - np.asarray(b), 1),
+        rtol=1e-6)
+    np.testing.assert_allclose(x1, x2, atol=1e-4)
+
+
+def test_l1regls_custom_kkt():
+    """l1-regularized LS: minimize ||Ax-b||_2^2 + ||x||_1 via coneqp with
+    operator P and custom kktsolver (reference test_custom_kkt.py
+    l1regls)."""
+    m, n = 40, 25
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    b = jnp.asarray(rng.standard_normal(m))
+
+    # variables (x, u): minimize x'A'Ax - 2b'Ax + 1'u, -u <= x <= u
+    q = jnp.concatenate([-2.0 * (A.T @ b), jnp.ones(n)])
+    G = jnp.block([[jnp.eye(n), -jnp.eye(n)],
+                   [-jnp.eye(n), -jnp.eye(n)]])
+    h = jnp.zeros(2 * n)
+    dims = ConeDims(l=2 * n)
+    P = jnp.block([[2.0 * A.T @ A, jnp.zeros((n, n))],
+                   [jnp.zeros((n, n)), jnp.zeros((n, n))]])
+
+    sol1 = coneqp(P, q, G, h, dims)
+    assert sol1["status"] == "optimal"
+
+    # operator form
+    def Pop(v):
+        return jnp.concatenate([2.0 * (A.T @ (A @ v[:n])),
+                                jnp.zeros(n)])
+
+    def Gop(v, trans=False):
+        if trans:
+            z1, z2 = v[:n], v[n:]
+            return jnp.concatenate([z1 - z2, -z1 - z2])
+        x, u = v[:n], v[n:]
+        return jnp.concatenate([x - u, -x - u])
+
+    def kktsolver(W, H=None, Df=None):
+        d = W.d
+        p = 1.0 / d[:n] ** 2
+        qd = 1.0 / d[n:] ** 2
+        S = p + qd
+        w = 4.0 * p * qd / S
+        M = 2.0 * A.T @ A + jnp.diag(w)
+        C = cho_factor(M, lower=True)
+
+        def solve(bx, by, bz):
+            bx_x, bx_u = bx[:n], bx[n:]
+            bz1, bz2 = bz[:n], bz[n:]
+            cu = bx_u - p * bz1 - qd * bz2
+            r = bx_x + (p - qd) / S * cu + p * bz1 - qd * bz2
+            x = cho_solve(C, r)
+            u = (cu + (p - qd) * x) / S
+            z1 = p * (x - u - bz1)
+            z2 = qd * (-x - u - bz2)
+            return (jnp.concatenate([x, u]),
+                    jnp.zeros((0,), bx.dtype),
+                    jnp.concatenate([z1, z2]))
+
+        return solve
+
+    sol2 = coneqp(Pop, q, Gop, h, dims, kktsolver=kktsolver)
+    assert sol2["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol1["x"])[:n],
+                               np.asarray(sol2["x"])[:n], atol=1e-5)
