@@ -7,12 +7,18 @@ KKT matrix plus two triangular solves (reference misc.py:1352 kkt_chol2 /
 lapack.potrf); the TPU-native design batches many such factorizations
 (scenario batching) onto the MXU with vmap.
 
+Measurement notes: data is freshly drawn each run and every call gets a
+unique scale factor (the axon relay dedupes repeated identical
+executions); throughput is steady-state over a pipelined loop, which
+amortizes the ~30 ms relay round-trip latency.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 value = batched KKT factorize+solve throughput (factorizations/s/chip)
 vs_baseline = value / scipy-LAPACK-on-CPU throughput on identical problems.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,9 +30,10 @@ def main():
     from jax.scipy.linalg import cho_factor, cho_solve
 
     B, n = 16, 1024  # batch of condensed-KKT-sized SPD systems
-    rng = np.random.default_rng(0)
-    Gs = rng.standard_normal((B, 2 * n, n)).astype(np.float32)
-    Ks = np.einsum("bij,bik->bjk", Gs, Gs) + n * np.eye(
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
+    # diagonally dominant symmetric matrices: SPD with O(n^2) setup cost
+    A = rng.standard_normal((B, n, n)).astype(np.float32)
+    Ks = 0.5 * (A + A.transpose(0, 2, 1)) + (2.0 * n) * np.eye(
         n, dtype=np.float32)[None]
     bs = rng.standard_normal((B, n)).astype(np.float32)
 
@@ -35,8 +42,6 @@ def main():
 
     @jax.jit
     def step(K, b, scale):
-        # `scale` varies per call so no layer can dedupe repeated identical
-        # executions (the axon relay caches same-input dispatches)
         def one(Ki, bi):
             c = cho_factor(Ki * scale, lower=True)
             x1 = cho_solve(c, bi)
@@ -46,10 +51,10 @@ def main():
 
     # warmup/compile
     step(Kd, bd, jnp.float32(1.0)).block_until_ready()
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        out = step(Kd, bd, jnp.float32(1.0 + 1e-6 * i))
+        out = step(Kd, bd, jnp.float32(1.0 + 1e-6 * (i + 1)))
     out.block_until_ready()
     t1 = time.perf_counter()
     tpu_time = (t1 - t0) / iters
@@ -65,7 +70,6 @@ def main():
     import scipy.linalg as sla
     K64 = Ks.astype(np.float64)
     b64 = bs.astype(np.float64)
-    # warm
     c = sla.cho_factor(K64[0], lower=True)
     sla.cho_solve(c, b64[0])
     reps = 2

@@ -10,5 +10,7 @@ parallelism is BLAS threading.  The TPU-native equivalent introduced here:
   normal-equations product formed with psum over ICI.
 """
 
-from .batch import make_qp_solver, batched_qp_solver, make_mesh  # noqa: F401
+from .batch import (  # noqa: F401
+    make_qp_solver, batched_qp_solver, make_lp_solver,
+    batched_lp_solver, make_mesh)
 from .sharded import sharded_kkt_factor  # noqa: F401

@@ -61,6 +61,42 @@ def make_qp_solver(dims, kktsolver=None, options=None, with_eq=False):
     return solve
 
 
+def make_lp_solver(dims, kktsolver=None, options=None):
+    """Pure function solve(c, G, h[, A, b]) -> conelp state tuple
+    (x, y, s, z, tau, kappa, iterations, status, metrics) for jit/vmap —
+    the conelp analogue of make_qp_solver."""
+    from ..solvers._conelp import _conelp_core
+    dims = ConeDims.from_dict(dims)
+    o = options if isinstance(options, Options) else Options(
+        **(options or {}))
+    if kktsolver is None:
+        kktsolver = "qr" if (dims.q or dims.s) else "chol2"
+
+    def solve(c, G, h, A=None, b=None):
+        dtype = c.dtype
+        if A is None:
+            A = jnp.zeros((0, c.shape[0]), dtype)
+            b = jnp.zeros((0,), dtype)
+        factor = kkt.make_kkt_solver(kktsolver, dims, G, A, None,
+                                     reg=o.kktreg)
+        gmv = lambda v, trans=False: (G.T @ v if trans else G @ v)
+        amv = lambda v, trans=False: (A.T @ v if trans else A @ v)
+        return _conelp_core(c, G, h, A, b, dims, o, factor, gmv, amv,
+                            dtype, None, None)
+
+    return solve
+
+
+def batched_lp_solver(dims, kktsolver=None, options=None, mesh=None):
+    """vmap (optionally pjit over mesh axis 'batch') of make_lp_solver."""
+    solve_one = make_lp_solver(dims, kktsolver, options)
+    vsolve = jax.vmap(solve_one)
+    if mesh is None:
+        return jax.jit(vsolve)
+    shard = NamedSharding(mesh, P("batch"))
+    return jax.jit(vsolve, in_shardings=(shard,) * 3)
+
+
 def batched_qp_solver(dims, kktsolver=None, options=None, mesh=None,
                       with_eq=False):
     """vmap (and optionally pjit over mesh axis 'batch') of

@@ -96,12 +96,15 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
                if dualstart.get("y") is not None else jnp.zeros((0,), dtype),
                _asarray(dualstart["z"], dtype))
 
-    return _conelp_solve(c, Ga, h, Aa, b, dims, o, factor, gmv, amv,
+    state = _conelp_core(c, Ga, h, Aa, b, dims, o, factor, gmv, amv,
                          dtype, ps, dst)
+    return _conelp_result(state, c, h, b, dims)
 
 
-def _conelp_solve(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
-                  dtype, primalstart, dualstart):
+def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
+                 dtype, primalstart, dualstart):
+    """Pure, jit-traceable conelp driver: the self-dual-embedding IPM as
+    one lax.while_loop; returns the final state arrays (no host syncs)."""
     n = c.shape[0]
     p = b.shape[0]
     deg = dims.degree
@@ -297,8 +300,14 @@ def _conelp_solve(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
     _, _, _, _, m0 = metrics_of(x0, y0, s0, z0, tau0, kappa0)
     carry0 = (x0, y0, s0, z0, tau0, kappa0, jnp.int32(0),
               jnp.int32(RUNNING), m0)
-    x, y, s, z, tau, kappa, it, status, m = jax.lax.while_loop(
-        cond, body, carry0)
+    return jax.lax.while_loop(cond, body, carry0)
+
+
+def _conelp_result(state, c, h, b, dims):
+    """Host-side conversion of the final state into the reference's
+    result dict (certificate scaling, status strings)."""
+    x, y, s, z, tau, kappa, it, status, m = state
+    p = b.shape[0]
     status = int(status)
     iterations = int(it) - 1
 

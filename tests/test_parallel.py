@@ -86,3 +86,26 @@ def test_sharded_kkt_factor():
         np.asarray(bx) + np.asarray(G).T @ (np.asarray(bz) /
                                             np.asarray(d) ** 2),
         rtol=1e-8, atol=1e-8)
+
+
+def test_batched_lp_vmap():
+    import jax.numpy as jnp
+    from kvxopt_tpu.parallel import batched_lp_solver
+    from kvxopt_tpu.solvers import lp
+    rng = np.random.default_rng(4)
+    B, n, m = 3, 5, 12
+    cs = np.zeros((B, n)); Gs = np.zeros((B, m, n)); hs = np.zeros((B, m))
+    for i in range(B):
+        cs[i] = rng.standard_normal(n)
+        Gs[i] = np.vstack([rng.standard_normal((m - 2 * n, n)),
+                           np.eye(n), -np.eye(n)])
+        hs[i] = np.concatenate([rng.uniform(1, 2, m - 2 * n),
+                                np.full(2 * n, 5.0)])
+    vsolve = batched_lp_solver(ConeDims(l=m))
+    x, y, s, z, tau, kappa, it, status, metrics = vsolve(
+        jnp.asarray(cs), jnp.asarray(Gs), jnp.asarray(hs))
+    assert (np.asarray(status) == OPTIMAL).all()
+    for i in range(B):
+        sol = lp(cs[i], Gs[i], hs[i])
+        np.testing.assert_allclose(np.asarray(x[i]) / np.asarray(tau[i]),
+                                   np.asarray(sol["x"]), atol=1e-5)
