@@ -51,13 +51,19 @@ def main():
 
     # warmup/compile
     step(Kd, bd, jnp.float32(1.0)).block_until_ready()
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(Kd, bd, jnp.float32(1.0 + 1e-6 * (i + 1)))
-    out.block_until_ready()
-    t1 = time.perf_counter()
-    tpu_time = (t1 - t0) / iters
+    # several measurement rounds; report the median (the relay's load
+    # makes individual rounds fluctuate)
+    iters, rounds = 20, 3
+    times = []
+    k = 0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            k += 1
+            out = step(Kd, bd, jnp.float32(1.0 + 1e-6 * k))
+        out.block_until_ready()
+        times.append((time.perf_counter() - t0) / iters)
+    tpu_time = sorted(times)[rounds // 2]
     tpu_thr = B / tpu_time  # factorize+solve per second
 
     # correctness spot check

@@ -34,7 +34,7 @@ from jax.scipy.linalg import solve_triangular
 from . import cones
 from .cones import ConeDims, NTScaling
 
-STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr")
+STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr", "chol2_mixed")
 
 
 def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
@@ -49,7 +49,8 @@ def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
         A = jnp.zeros((0, n), dtype=dtype)
     edims = dims.with_extra_l(mnl) if mnl else dims
     fn = {"chol2": _kkt_chol2, "chol": _kkt_chol, "qr": _kkt_qr,
-          "ldl": _kkt_ldl, "ldl2": _kkt_ldl2}[name]
+          "ldl": _kkt_ldl, "ldl2": _kkt_ldl2,
+          "chol2_mixed": _kkt_chol2_mixed}[name]
     return partial(fn, dims, edims, G, A, P, mnl, reg)
 
 
@@ -114,6 +115,54 @@ def _kkt_chol2(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
             ux = _chol_solve(L, f)
             uy = jnp.zeros((0,), dtype=bx.dtype)
         # uz = (W'W)^{-1} (Geff ux - bz) = W^{-1} (Gs ux - W^{-T} bz)
+        uz = cones.scale(edims, W, Gs @ ux - bzs, inverse=True)
+        return ux, uy, uz
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# chol2_mixed — the TPU performance configuration: factor in float32 on the
+# MXU, recover float64 accuracy by iterative refinement against the f64
+# condensed matrix.  (TPUs emulate f64 in software; f32 Cholesky is the
+# fast path.  No reference counterpart — this is a build-side strategy.)
+# ---------------------------------------------------------------------------
+
+def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
+    from . import config
+    n, p = G.shape[1], A.shape[0]
+    Geff = _geff(G, Df, mnl)
+    Gs = cones.wtw_scale_cols(edims, W, Geff)
+    K = _keff(P, H, n, G.dtype) + Gs.T @ Gs
+    cdt = config.compute_dtype
+    L32 = _chol_spd(K.astype(cdt), reg)
+    if p:
+        KiAt = _chol_solve(L32, A.astype(cdt).T)
+        S = (A.astype(cdt) @ KiAt)
+        Ls32 = _chol_spd(S, reg)
+
+    def ksolve(b):
+        # f32 solve + two f64 refinement passes against the f64 K
+        x = _chol_solve(L32, b.astype(cdt)).astype(b.dtype)
+        for _ in range(2):
+            x = x + _chol_solve(L32, (b - K @ x).astype(cdt)).astype(
+                b.dtype)
+        return x
+
+    def solve(bx, by, bz):
+        bzs = cones.scale(edims, W, bz, trans=True, inverse=True)
+        f = bx + Gs.T @ bzs
+        if p:
+            Kif = ksolve(f)
+            rhs = (A @ Kif - by)
+            uy = _chol_solve(Ls32, rhs.astype(cdt)).astype(bx.dtype)
+            Sf64 = A @ ksolve(A.T @ uy)  # one refinement vs f64 Schur
+            uy = uy + _chol_solve(Ls32, (rhs - Sf64).astype(cdt)).astype(
+                bx.dtype)
+            ux = ksolve(f - A.T @ uy)
+        else:
+            ux = ksolve(f)
+            uy = jnp.zeros((0,), dtype=bx.dtype)
         uz = cones.scale(edims, W, Gs @ ux - bzs, inverse=True)
         return ux, uy, uz
 

@@ -71,7 +71,8 @@ def test_qp_with_equalities():
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("kktsolver", ["ldl", "ldl2", "chol", "chol2", "qr"])
+@pytest.mark.parametrize("kktsolver", ["ldl", "ldl2", "chol", "chol2", "qr",
+                                       "chol2_mixed"])
 def test_qp_all_kkt_strategies(kktsolver):
     rng = np.random.default_rng(2)
     n, m = 6, 10
