@@ -135,19 +135,34 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
     Gs = cones.wtw_scale_cols(edims, W, Geff)
     K = _keff(P, H, n, G.dtype) + Gs.T @ Gs
     cdt = config.compute_dtype
-    L32 = _chol_spd(K.astype(cdt), reg)
-    if p:
-        KiAt = _chol_solve(L32, A.astype(cdt).T)
-        S = (A.astype(cdt) @ KiAt)
-        Ls32 = _chol_spd(S, reg)
+    # Jacobi equilibration: the NT scaling drives cond(K) beyond f32
+    # range near convergence; D K D with D = diag(K)^{-1/2} keeps the
+    # f32 factorization usable and refinement convergent
+    dsc = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(K), 1e-300))
+    Keq = K * dsc[:, None] * dsc[None, :]
+    L32 = _chol_spd(Keq.astype(cdt), reg)
 
     def ksolve(b):
-        # f32 solve + two f64 refinement passes against the f64 K
-        x = _chol_solve(L32, b.astype(cdt)).astype(b.dtype)
-        for _ in range(2):
-            x = x + _chol_solve(L32, (b - K @ x).astype(cdt)).astype(
-                b.dtype)
+        # equilibrated f32 solve + f64 refinement passes against f64 K
+        def apply(r):
+            return dsc * _chol_solve(L32, (dsc * r).astype(cdt)).astype(
+                r.dtype)
+        x = apply(b)
+        for _ in range(3):
+            x = x + apply(b - K @ x)
         return x
+
+    if p:
+        # Schur complement via the equilibrated f32 factor
+        KiAtT = _chol_solve(L32, (A * dsc[None, :]).astype(cdt).T)
+        S = (A * dsc[None, :]).astype(cdt) @ KiAtT
+        ssc = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
+        Seq = S * ssc[:, None] * ssc[None, :]
+        Ls32 = _chol_spd(Seq, reg)
+
+    def ssolve(r):
+        return ssc * _chol_solve(Ls32, (ssc * r).astype(cdt)).astype(
+            r.dtype)
 
     def solve(bx, by, bz):
         bzs = cones.scale(edims, W, bz, trans=True, inverse=True)
@@ -155,10 +170,9 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
         if p:
             Kif = ksolve(f)
             rhs = (A @ Kif - by)
-            uy = _chol_solve(Ls32, rhs.astype(cdt)).astype(bx.dtype)
-            Sf64 = A @ ksolve(A.T @ uy)  # one refinement vs f64 Schur
-            uy = uy + _chol_solve(Ls32, (rhs - Sf64).astype(cdt)).astype(
-                bx.dtype)
+            uy = ssolve(rhs)
+            # refinement of uy against the true f64 Schur action
+            uy = uy + ssolve(rhs - A @ ksolve(A.T @ uy))
             ux = ksolve(f - A.T @ uy)
         else:
             ux = ksolve(f)

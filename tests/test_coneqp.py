@@ -81,8 +81,12 @@ def test_qp_all_kkt_strategies(kktsolver):
     q = rng.standard_normal(n)
     G = rng.standard_normal((m, n))
     h = G @ rng.standard_normal(n) + rng.uniform(0.5, 1.5, m)
-    sol = qp(P, q, G, h, kktsolver=kktsolver)
-    check_qp_kkt(P, q, G, h, None, None, ConeDims(l=m), sol)
+    # the f32+refinement strategy targets ~1e-6 tolerances (f32
+    # refinement floor); the f64 strategies hit the defaults
+    opts = ({"abstol": 1e-6, "reltol": 1e-5, "feastol": 1e-6}
+            if kktsolver == "chol2_mixed" else None)
+    sol = qp(P, q, G, h, kktsolver=kktsolver, options=opts)
+    check_qp_kkt(P, q, G, h, None, None, ConeDims(l=m), sol, tol=1e-4)
 
 
 def test_coneqp_socp_cone():
