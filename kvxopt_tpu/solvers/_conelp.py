@@ -294,6 +294,8 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
     def cond(carry):
         return carry[7] == RUNNING
 
+    if o.show_progress:
+        print("     pcost       dcost       gap    pres   dres   k/t")
     x0, y0, s0, z0 = initial_point()
     tau0 = jnp.asarray(1.0, dtype)
     kappa0 = jnp.asarray(1.0, dtype)

@@ -351,6 +351,8 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
     def cond(carry):
         return carry[5] == RUNNING
 
+    if o.show_progress:
+        print("     pcost       dcost       gap    pres   dres")
     x0, y0, s0, z0 = initial_point()
     _, _, _, m0 = metrics_of(x0, y0, s0, z0)
     carry0 = (x0, y0, s0, z0, jnp.int32(0), jnp.int32(RUNNING), m0)

@@ -158,3 +158,46 @@ def test_conelp_mixed_cones():
                ) < 1e-5
     assert float(cones.max_step(dims, np.asarray(s, float))) < 1e-7
     assert float(cones.max_step(dims, np.asarray(z, float))) < 1e-7
+
+
+def test_global_options_dict():
+    # the shared mutable solvers.options dict (reference solvers.py:38-40)
+    from kvxopt_tpu import solvers
+    c = np.array([-4.0, -5.0])
+    G = np.array([[2.0, 1.0], [1.0, 2.0], [-1.0, 0.0], [0.0, -1.0]])
+    h = np.array([3.0, 3.0, 0.0, 0.0])
+    solvers.options["maxiters"] = 2
+    try:
+        sol = lp(c, G, h)
+        assert sol["iterations"] <= 2
+        assert sol["status"] == "unknown"
+        # per-call override wins
+        sol2 = lp(c, G, h, options={"maxiters": 100})
+        assert sol2["status"] == "optimal"
+    finally:
+        solvers.options.clear()
+
+
+def test_conelp_warm_start():
+    c = np.array([-4.0, -5.0])
+    G = np.array([[2.0, 1.0], [1.0, 2.0], [-1.0, 0.0], [0.0, -1.0]])
+    h = np.array([3.0, 3.0, 0.0, 0.0])
+    cold = conelp(c, G, h, ConeDims(l=4))
+    x0 = np.asarray(cold["x"])
+    s0 = np.maximum(h - G @ x0, 1e-3)
+    z0 = np.maximum(np.asarray(cold["z"]), 1e-3)
+    warm = conelp(c, G, h, ConeDims(l=4),
+                  primalstart={"x": x0, "s": s0},
+                  dualstart={"y": np.zeros(0), "z": z0})
+    assert warm["status"] == "optimal"
+    assert warm["iterations"] <= cold["iterations"]
+
+
+def test_show_progress_prints(capsys):
+    c = np.array([-1.0])
+    G = np.array([[1.0], [-1.0]])
+    h = np.array([1.0, 1.0])
+    sol = lp(c, G, h, options={"show_progress": True})
+    assert sol["status"] == "optimal"
+    out = capsys.readouterr().out
+    assert "pcost" in out and "dcost" in out

@@ -109,3 +109,61 @@ def test_batched_lp_vmap():
         sol = lp(cs[i], Gs[i], hs[i])
         np.testing.assert_allclose(np.asarray(x[i]) / np.asarray(tau[i]),
                                    np.asarray(sol["x"]), atol=1e-5)
+
+
+def _arrow_data(B, nb, nc, seed=5):
+    rng = np.random.default_rng(seed)
+    D = np.zeros((B, nb, nb)); C = rng.standard_normal((B, nb, nc))
+    for i in range(B):
+        M = rng.standard_normal((nb, nb))
+        D[i] = M @ M.T + nb * np.eye(nb)
+    E = np.eye(nc) * (nc + 10.0)
+    # assemble dense for the oracle
+    n = B * nb + nc
+    K = np.zeros((n, n))
+    for i in range(B):
+        K[i*nb:(i+1)*nb, i*nb:(i+1)*nb] = D[i]
+        K[i*nb:(i+1)*nb, B*nb:] = C[i]
+        K[B*nb:, i*nb:(i+1)*nb] = C[i].T
+    K[B*nb:, B*nb:] = E
+    return D, C, E, K
+
+
+def test_arrow_kkt_factor():
+    import jax.numpy as jnp
+    from kvxopt_tpu.parallel import arrow_kkt_factor
+    B, nb, nc = 5, 8, 4
+    D, C, E, K = _arrow_data(B, nb, nc)
+    solve, S = arrow_kkt_factor(jnp.asarray(D), jnp.asarray(C),
+                                jnp.asarray(E))
+    rng = np.random.default_rng(6)
+    bblk = rng.standard_normal((B, nb))
+    bbrd = rng.standard_normal(nc)
+    xblk, xbrd = solve(jnp.asarray(bblk), jnp.asarray(bbrd))
+    xfull = np.concatenate([np.asarray(xblk).reshape(-1),
+                            np.asarray(xbrd)])
+    bfull = np.concatenate([bblk.reshape(-1), bbrd])
+    np.testing.assert_allclose(K @ xfull, bfull, atol=1e-8)
+
+
+def test_arrow_kkt_sharded():
+    import jax.numpy as jnp
+    from kvxopt_tpu.parallel import arrow_kkt_factor, make_mesh
+    B, nb, nc = 8, 8, 4
+    D, C, E, K = _arrow_data(B, nb, nc, seed=7)
+    mesh = make_mesh(8, ("kkt",))
+    shard3 = NamedSharding(mesh, P("kkt", None, None))
+    shard2 = NamedSharding(mesh, P("kkt", None))
+    Dd = jax.device_put(jnp.asarray(D), shard3)
+    Cd = jax.device_put(jnp.asarray(C), shard3)
+    solve, S = arrow_kkt_factor(Dd, Cd, jnp.asarray(E), mesh=mesh)
+    rng = np.random.default_rng(8)
+    bblk = jax.device_put(jnp.asarray(rng.standard_normal((B, nb))),
+                          shard2)
+    bbrd = jnp.asarray(rng.standard_normal(nc))
+    xblk, xbrd = solve(bblk, bbrd)
+    xfull = np.concatenate([np.asarray(xblk).reshape(-1),
+                            np.asarray(xbrd)])
+    bfull = np.concatenate([np.asarray(bblk).reshape(-1),
+                            np.asarray(bbrd)])
+    np.testing.assert_allclose(K @ xfull, bfull, atol=1e-8)
