@@ -189,12 +189,16 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
 
     init = None
     if initvals is not None:
+        # partial initvals get the reference's defaults (coneprog.py:1441
+        # initvals): x/y zero, s/z the cone identity
+        e0 = cones.cone_e(dims, dtype)
+        defaults = {"x": jnp.zeros((n,), dtype),
+                    "y": jnp.zeros((b.shape[0],), dtype),
+                    "s": e0, "z": e0}
         init = tuple(
-            _asarray(initvals[k], dtype) if k in initvals and
-            initvals[k] is not None else None
+            _asarray(initvals[k], dtype) if initvals.get(k) is not None
+            else defaults[k]
             for k in ("x", "y", "s", "z"))
-        if any(v is None for v in init):
-            raise ValueError("initvals must provide x, y, s and z")
 
     state = _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o, factor,
                          gmv, amv, pmv, dtype)
