@@ -12,8 +12,8 @@ Repeated `numeric(A, F)` calls on the same symbolic object reuse the
 factor pattern and only recompute values (free fast-refactorization, the
 analogue of CHOLMOD's separate symbolic/numeric phases).
 
-Real ('d') matrices only in this build; complex Hermitian support is
-routed through the LU modules.
+Supports 'd' (symmetric) and 'z' (Hermitian LDL^H with real D)
+matrices.
 """
 
 import numpy as np
@@ -35,9 +35,8 @@ class CholSymbolic:
         m, n, cp, ri, vx = canon_csc(A)
         if m != n:
             raise TypeError("matrix must be square")
-        if vx.dtype.kind == "c":
-            raise TypeError("cholmod: complex matrices not supported in "
-                            "this build; use umfpack/klu")
+        self.is_complex = vx.dtype.kind == "c"
+        self._sfx = "_z" if self.is_complex else ""
         self.n = n
         self.uplo = uplo
         if p is not None:
@@ -51,24 +50,30 @@ class CholSymbolic:
         m, n, cp, ri, vx = canon_csc(A)
         csc = _sp.csc_matrix((vx, ri, cp), shape=(n, n))
         tri = _sp.tril(csc) if self.uplo == "L" else _sp.triu(csc)
-        full = tri + tri.T - _sp.diags(tri.diagonal())
+        if self.is_complex:
+            full = tri + tri.conj().T - _sp.diags(tri.diagonal())
+            dtype = np.complex128
+        else:
+            full = tri + tri.T - _sp.diags(tri.diagonal())
+            dtype = np.float64
         perm = self.perm
         sub = full[perm, :][:, perm]
         low = _sp.tril(sub).tocsc()
         low.sort_indices()
         return (low.indptr.astype(np.int64),
                 low.indices.astype(np.int64),
-                np.ascontiguousarray(low.data.astype(np.float64)))
+                np.ascontiguousarray(low.data.astype(dtype)))
 
     def factorize(self, A):
         cp, ri, vx = self._permuted_lower(A)
+        fac = getattr(lib, "ldl_factor" + self._sfx)
+        refac = getattr(lib, "ldl_refactor" + self._sfx)
         if self._handle is None:
             st = ctypes.c_longlong(0)
-            self._handle = lib.ldl_factor(self.n, cp, ri, vx,
-                                          ctypes.byref(st))
+            self._handle = fac(self.n, cp, ri, vx, ctypes.byref(st))
             status = st.value
         else:
-            status = lib.ldl_refactor(self._handle, self.n, cp, ri, vx)
+            status = refac(self._handle, self.n, cp, ri, vx)
         if status != 0:
             raise ArithmeticError("factorization failed (zero pivot)")
         if options.get("supernodal", 2) != 0:
@@ -79,29 +84,32 @@ class CholSymbolic:
 
     def Dvals(self):
         D = np.zeros(self.n, np.float64)
-        lib.ldl_diag(self._handle, D)
+        getattr(lib, "ldl_diag" + self._sfx)(self._handle, D)
         return D
 
     def solve_permuted(self, barr, mode):
-        work = np.ascontiguousarray(barr.T, dtype=np.float64)
-        lib.ldl_solve(self._handle, work, work.shape[0], mode)
+        dtype = np.complex128 if self.is_complex else np.float64
+        work = np.ascontiguousarray(barr.T, dtype=dtype)
+        getattr(lib, "ldl_solve" + self._sfx)(self._handle, work,
+                                              work.shape[0], mode)
         return work.T
 
     def get_L(self):
         n = self.n
-        nnz = lib.ldl_lnnz(self._handle)
+        nnz = getattr(lib, "ldl_lnnz" + self._sfx)(self._handle)
         Lp = np.zeros(n + 1, np.int64)
         Li = np.zeros(nnz, np.int64)
-        Lx = np.zeros(nnz, np.float64)
+        dtype = np.complex128 if self.is_complex else np.float64
+        Lx = np.zeros(nnz, dtype)
         D = np.zeros(n, np.float64)
-        lib.ldl_get(self._handle, Lp, Li, Lx, D)
+        getattr(lib, "ldl_get" + self._sfx)(self._handle, Lp, Li, Lx, D)
         Lm = _sp.csc_matrix((Lx, Li, Lp), shape=(n, n)) + _sp.eye(n)
         return Lm.tocsc(), D
 
     def __del__(self):
         try:
             if self._handle is not None:
-                lib.ldl_free(self._handle)
+                getattr(lib, "ldl_free" + self._sfx)(self._handle)
                 self._handle = None
         except Exception:
             pass
@@ -131,7 +139,8 @@ def solve(F, B, sys=0):
     _check_numeric(F)
     if not isinstance(B, matrix):
         raise TypeError("B must be a dense matrix")
-    arr = np.asarray(B, dtype=np.float64)
+    dtype = np.complex128 if F.is_complex else np.float64
+    arr = np.asarray(B, dtype=dtype)
     if arr.ndim == 1:
         arr = arr.reshape(-1, 1)
     perm = F.perm

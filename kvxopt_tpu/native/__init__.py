@@ -46,6 +46,18 @@ lib.ldl_get.argtypes = [c_void, c_i64_p, c_i64_p, c_f64_p, c_f64_p]
 lib.ldl_solve.argtypes = [c_void, c_f64_p, c_i64, c_i64]
 lib.ldl_diag.argtypes = [c_void, c_f64_p]
 
+lib.ldl_factor_z.restype = c_void
+lib.ldl_factor_z.argtypes = [c_i64, c_i64_p, c_i64_p, c_c128_p,
+                             ctypes.POINTER(c_i64)]
+lib.ldl_refactor_z.restype = c_i64
+lib.ldl_refactor_z.argtypes = [c_void, c_i64, c_i64_p, c_i64_p, c_c128_p]
+lib.ldl_free_z.argtypes = [c_void]
+lib.ldl_lnnz_z.restype = c_i64
+lib.ldl_lnnz_z.argtypes = [c_void]
+lib.ldl_get_z.argtypes = [c_void, c_i64_p, c_i64_p, c_c128_p, c_f64_p]
+lib.ldl_solve_z.argtypes = [c_void, c_c128_p, c_i64, c_i64]
+lib.ldl_diag_z.argtypes = [c_void, c_f64_p]
+
 for sfx, vp in (("d", c_f64_p), ("z", c_c128_p)):
     f = getattr(lib, f"lu_factor_{sfx}")
     f.restype = c_void

@@ -275,7 +275,191 @@ void ldl_diag(void* handle, double* out) {
   std::memcpy(out, F->D.data(), sizeof(double) * F->n);
 }
 
-}  // extern "C"  (templates below have C++ linkage)
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Hermitian complex LDL^H (same up-looking algorithm; D stays real,
+// updates conjugate the stored L entries) — for cholmod 'z' support.
+// ---------------------------------------------------------------------------
+
+struct CholFactorZ {
+  i64 n = 0;
+  std::vector<i64> parent;
+  std::vector<i64> Lp, Li;
+  std::vector<cplx> Lx;
+  std::vector<double> D;
+  std::vector<i64> tp, tj;
+  std::vector<cplx> tx;
+  std::vector<double> diag;
+};
+
+static void cholz_build_rows(CholFactorZ* F, i64 n, const i64* colptr,
+                             const i64* rowind, const cplx* values) {
+  std::vector<i64> cnt(n + 1, 0);
+  for (i64 j = 0; j < n; ++j)
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p) {
+      i64 i = rowind[p];
+      if (i > j) cnt[i + 1]++;
+    }
+  F->tp.assign(n + 1, 0);
+  for (i64 i = 0; i < n; ++i) F->tp[i + 1] = F->tp[i] + cnt[i + 1];
+  F->tj.assign(F->tp[n], 0);
+  F->tx.assign(F->tp[n], cplx(0));
+  F->diag.assign(n, 0.0);
+  std::vector<i64> w(n);
+  for (i64 i = 0; i < n; ++i) w[i] = F->tp[i];
+  for (i64 j = 0; j < n; ++j)
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p) {
+      i64 i = rowind[p];
+      if (i > j) {
+        F->tj[w[i]] = j;
+        F->tx[w[i]] = values[p];  // A[i][j], lower triangle
+        w[i]++;
+      } else if (i == j) {
+        F->diag[j] = values[p].real();
+      }
+    }
+}
+
+static i64 cholz_numeric(CholFactorZ* F) {
+  i64 n = F->n;
+  std::vector<i64> next(n);
+  for (i64 j = 0; j < n; ++j) next[j] = F->Lp[j];
+  std::vector<cplx> y(n, cplx(0));
+  std::vector<i64> pattern(n), mark(n, -1);
+  i64 status = 0;
+  for (i64 i = 0; i < n; ++i) {
+    i64 top = n;
+    mark[i] = i;
+    for (i64 p = F->tp[i]; p < F->tp[i + 1]; ++p) {
+      i64 k = F->tj[p];
+      y[k] += F->tx[p];
+      i64 len = 0;
+      while (mark[k] != i) {
+        pattern[len++] = k;
+        mark[k] = i;
+        k = F->parent[k];
+      }
+      while (len > 0) pattern[--top] = pattern[--len];
+    }
+    double di = F->diag[i];
+    for (i64 t = top; t < n; ++t) {
+      i64 k = pattern[t];
+      cplx yk = y[k];
+      y[k] = cplx(0);
+      cplx lik = yk / F->D[k];
+      for (i64 p = F->Lp[k]; p < next[k]; ++p)
+        y[F->Li[p]] -= std::conj(F->Lx[p]) * yk;
+      di -= (lik * std::conj(yk)).real();
+      F->Li[next[k]] = i;
+      F->Lx[next[k]] = lik;
+      next[k]++;
+    }
+    if (di == 0.0 && status == 0) status = i + 1;
+    F->D[i] = di;
+  }
+  return status;
+}
+
+extern "C" {
+
+void* ldl_factor_z(i64 n, const i64* colptr, const i64* rowind,
+                   const cplx* values, i64* status) {
+  CholFactorZ* F = new CholFactorZ();
+  F->n = n;
+  cholz_build_rows(F, n, colptr, rowind, values);
+  F->parent.assign(n, -1);
+  {
+    std::vector<i64> ancestor(n, -1);
+    for (i64 i = 0; i < n; ++i)
+      for (i64 p = F->tp[i]; p < F->tp[i + 1]; ++p) {
+        i64 k = F->tj[p];
+        while (k != -1 && k < i) {
+          i64 nxt = ancestor[k];
+          ancestor[k] = i;
+          if (nxt == -1) F->parent[k] = i;
+          k = nxt;
+        }
+      }
+  }
+  std::vector<i64> counts(n, 0), mark(n, -1);
+  for (i64 i = 0; i < n; ++i) {
+    mark[i] = i;
+    for (i64 p = F->tp[i]; p < F->tp[i + 1]; ++p) {
+      i64 k = F->tj[p];
+      while (mark[k] != i) {
+        counts[k]++;
+        mark[k] = i;
+        k = F->parent[k];
+      }
+    }
+  }
+  F->Lp.assign(n + 1, 0);
+  for (i64 j = 0; j < n; ++j) F->Lp[j + 1] = F->Lp[j] + counts[j];
+  F->Li.assign(F->Lp[n], 0);
+  F->Lx.assign(F->Lp[n], cplx(0));
+  F->D.assign(n, 0.0);
+  *status = cholz_numeric(F);
+  return F;
+}
+
+i64 ldl_refactor_z(void* handle, i64 n, const i64* colptr,
+                   const i64* rowind, const cplx* values) {
+  CholFactorZ* F = static_cast<CholFactorZ*>(handle);
+  if (F->n != n) return -1;
+  cholz_build_rows(F, n, colptr, rowind, values);
+  return cholz_numeric(F);
+}
+
+void ldl_free_z(void* handle) { delete static_cast<CholFactorZ*>(handle); }
+
+i64 ldl_lnnz_z(void* handle) {
+  return (i64)static_cast<CholFactorZ*>(handle)->Lx.size();
+}
+
+void ldl_get_z(void* handle, i64* Lp, i64* Li, cplx* Lx, double* D) {
+  CholFactorZ* F = static_cast<CholFactorZ*>(handle);
+  std::memcpy(Lp, F->Lp.data(), sizeof(i64) * (F->n + 1));
+  if (!F->Li.empty()) {
+    std::memcpy(Li, F->Li.data(), sizeof(i64) * F->Li.size());
+    std::memcpy(Lx, F->Lx.data(), sizeof(cplx) * F->Lx.size());
+  }
+  std::memcpy(D, F->D.data(), sizeof(double) * F->n);
+}
+
+// mode semantics as ldl_solve (0 full LDL^H, 1 L, 2 D, 3 L^H, 4 LD, 5 DL^H)
+void ldl_solve_z(void* handle, cplx* b, i64 nrhs, i64 mode) {
+  CholFactorZ* F = static_cast<CholFactorZ*>(handle);
+  i64 n = F->n;
+  for (i64 r = 0; r < nrhs; ++r) {
+    cplx* x = b + r * n;
+    if (mode == 0 || mode == 1 || mode == 4) {
+      for (i64 j = 0; j < n; ++j) {
+        cplx xj = x[j];
+        for (i64 p = F->Lp[j]; p < F->Lp[j + 1]; ++p)
+          x[F->Li[p]] -= F->Lx[p] * xj;
+      }
+    }
+    if (mode == 0 || mode == 2 || mode == 4 || mode == 5) {
+      for (i64 j = 0; j < n; ++j) x[j] /= F->D[j];
+    }
+    if (mode == 0 || mode == 3 || mode == 5) {
+      for (i64 j = n - 1; j >= 0; --j) {
+        cplx xj = x[j];
+        for (i64 p = F->Lp[j]; p < F->Lp[j + 1]; ++p)
+          xj -= std::conj(F->Lx[p]) * x[F->Li[p]];
+        x[j] = xj;
+      }
+    }
+  }
+}
+
+void ldl_diag_z(void* handle, double* out) {
+  CholFactorZ* F = static_cast<CholFactorZ*>(handle);
+  std::memcpy(out, F->D.data(), sizeof(double) * F->n);
+}
+
+}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // Sparse LU: left-looking Gilbert-Peierls with threshold partial pivoting,

@@ -289,3 +289,33 @@ def test_mtx_umfpack_identity(name):
     L, U, P, Q, R = umfpack.get_numeric(A, Fn)
     rho = norm(P * R * A * Q - L * U, "1")
     assert rho < 1e-7 * norm(A, "1")
+
+
+def test_cholmod_complex_hermitian():
+    from kvxopt_tpu import normal
+    n = 30
+    A = sp.random(n, n, density=0.1,
+                  random_state=np.random.RandomState(11), format="csc")
+    A = A + 1j * sp.random(n, n, density=0.1,
+                           random_state=np.random.RandomState(12),
+                           format="csc")
+    H = (A @ A.conj().T + n * sp.eye(n)).tocsc()  # Hermitian PD
+    S = spmatrix._from_csc(H)
+    F = cholmod.symbolic(S)
+    cholmod.numeric(S, F)
+    b = np.asarray(normal(n, 2)) + 1j * np.asarray(normal(n, 2))
+    x = matrix(b.copy())
+    cholmod.solve(F, x)
+    np.testing.assert_allclose(H.toarray() @ np.asarray(x), b, atol=1e-8)
+    # factor identity: P H P' = L L^H
+    L = np.asarray(cholmod.getfactor(F))
+    perm = F.perm
+    Hp = H.toarray()[perm][:, perm]
+    np.testing.assert_allclose(L @ L.conj().T, Hp, atol=1e-8)
+    # refactor with scaled values
+    S2 = spmatrix._from_csc(H * 2.0)
+    cholmod.numeric(S2, F)
+    x2 = matrix(b.copy())
+    cholmod.solve(F, x2)
+    np.testing.assert_allclose(2.0 * (H.toarray() @ np.asarray(x2)), b,
+                               atol=1e-8)
