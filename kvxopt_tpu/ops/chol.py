@@ -65,15 +65,16 @@ def _factor_inplace(buf, slot, nb):
         panel = jax.lax.fori_loop(jnp.int32(0), jnp.int32(BS), body,
                                   panel)
         buf[slot, :, base:base + BS] = panel
-        if kb + 1 < nb:
-            rest = (kb + 1) * BS
-            # fixed-shape full-matrix trailing update; masking the panel's
-            # first `rest` rows zeroes the update on finished columns
-            Mp = jnp.where(rows_n1 >= rest, panel, zero)
+        # trailing update, one fixed-shape (n,BS)@(BS,BS) matmul per
+        # remaining column block (variable-extent slices do not legalize
+        # in Mosaic, so blocks are the granularity)
+        for jb in range(kb + 1, nb):
+            cb = jb * BS
+            Pj = panel[cb:cb + BS, :]                    # (BS, BS)
             upd = jax.lax.dot_general(
-                panel, Mp, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            buf[slot] = buf[slot] - upd
+                panel, Pj, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (n, BS)
+            buf[slot, :, cb:cb + BS] = buf[slot, :, cb:cb + BS] - upd
 
 
 def _chol_stream_kernel(nb, B, a_hbm, o_hbm, buf, sems):
