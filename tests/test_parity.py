@@ -1,0 +1,82 @@
+"""Asserts the PARITY.md symbol inventory: every public symbol of the
+reference's modules (SURVEY.md section 2 tables) exists here."""
+
+import importlib
+
+import pytest
+
+CHECKS = {
+    "kvxopt_tpu": [
+        "matrix", "spmatrix", "sparse", "spdiag", "exp", "log", "sqrt",
+        "sin", "cos", "tan", "normal", "uniform", "setseed", "getseed",
+        "min", "max", "mul", "div", "norm", "gemv", "gemm", "syrk",
+        "symv", "axpy", "fromfile"],
+    "kvxopt_tpu.blas": [
+        "swap", "scal", "copy", "axpy", "dot", "dotu", "nrm2", "asum",
+        "iamax", "gemv", "gbmv", "symv", "hemv", "sbmv", "hbmv", "trmv",
+        "tbmv", "trsv", "tbsv", "ger", "geru", "syr", "her", "syr2",
+        "her2", "gemm", "symm", "hemm", "syrk", "herk", "syr2k", "her2k",
+        "trmm", "trsm"],
+    "kvxopt_tpu.lapack": [
+        "getrf", "getrs", "getri", "gesv", "gbtrf", "gbtrs", "gbsv",
+        "gttrf", "gttrs", "gtsv", "potrf", "potrs", "potri", "posv",
+        "pbtrf", "pbtrs", "pbsv", "pttrf", "pttrs", "ptsv", "sytrf",
+        "sytrs", "sytri", "sysv", "hetrf", "hetrs", "hetri", "hesv",
+        "trtrs", "trtri", "tbtrs", "gels", "geqrf", "ormqr", "unmqr",
+        "orgqr", "ungqr", "gelqf", "ormlq", "unmlq", "orglq", "unglq",
+        "geqp3", "syev", "heev", "syevx", "syevd", "syevr", "sygv",
+        "hegv", "gesvd", "gesdd", "gees", "gges", "lacpy", "larfg",
+        "larfx"],
+    "kvxopt_tpu.misc_solvers": [
+        "scale", "scale2", "pack", "pack2", "unpack", "symm", "sdot",
+        "snrm2", "sprod", "sinv", "max_step", "trisc", "triusc"],
+    "kvxopt_tpu.misc": [
+        "compute_scaling", "update_scaling", "sgemv", "jdot", "jnrm2",
+        "ssqr", "kkt_ldl", "kkt_ldl2", "kkt_chol", "kkt_chol2",
+        "kkt_qr"],
+    "kvxopt_tpu.solvers": [
+        "conelp", "coneqp", "lp", "qp", "socp", "sdp", "cp", "cpl",
+        "gp", "options"],
+    "kvxopt_tpu.umfpack": [
+        "linsolve", "symbolic", "numeric", "solve", "get_numeric",
+        "get_det"],
+    "kvxopt_tpu.klu": [
+        "linsolve", "symbolic", "numeric", "solve", "get_numeric",
+        "get_det", "options"],
+    "kvxopt_tpu.cholmod": [
+        "symbolic", "numeric", "solve", "spsolve", "linsolve",
+        "splinsolve", "diag", "getfactor", "options"],
+    "kvxopt_tpu.amd": ["order", "options"],
+    "kvxopt_tpu.fftw": [
+        "dft", "idft", "dftn", "idftn", "dct", "dctn", "idct", "idctn",
+        "dst", "dstn", "idst", "idstn"],
+    "kvxopt_tpu.gsl": ["normal", "uniform", "weibull", "setseed",
+                       "getseed"],
+    "kvxopt_tpu.glpk": ["lp", "ilp", "options"],
+    "kvxopt_tpu.osqp": ["qp", "solve", "options"],
+    "kvxopt_tpu.dsdp": ["sdp", "options"],
+    "kvxopt_tpu.modeling": ["variable", "constraint", "op", "dot",
+                            "sum", "max", "min"],
+    "kvxopt_tpu.printing": ["options", "matrix_str_default",
+                            "spmatrix_str_default",
+                            "spmatrix_str_triplet"],
+}
+
+
+@pytest.mark.parametrize("mod", sorted(CHECKS))
+def test_module_symbols(mod):
+    m = importlib.import_module(mod)
+    missing = [s for s in CHECKS[mod] if not hasattr(m, s)]
+    assert not missing, f"{mod} missing {missing}"
+
+
+def test_type_attributes():
+    from kvxopt_tpu import matrix, spmatrix
+    A = matrix([1.0, 2.0])
+    S = spmatrix([1.0], [0], [0])
+    for a in ("size", "typecode", "T", "H", "real", "imag", "trans",
+              "ctrans", "tofile"):
+        assert hasattr(A, a)
+    for a in ("size", "typecode", "V", "I", "J", "CCS", "T", "H",
+              "ipset", "ipadd"):
+        assert hasattr(S, a)
