@@ -85,7 +85,13 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
     if G is None:
         G = jnp.zeros((dims.size, n), dtype)
         h = jnp.zeros((dims.size,), dtype)
-    Ga = _asarray(G, dtype, shape=(dims.size, n), name="G")
+    G_is_op = callable(G)
+    if G_is_op and not callable(kktsolver):
+        raise ValueError("operator-form G requires a custom kktsolver")
+    Ga = G if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
+                                    name="G")
+    gmv = G if G_is_op else (lambda v, trans=False:
+                             (Ga.T @ v if trans else Ga @ v))
     h = _asarray(h, dtype, shape=(dims.size,), name="h")
     Aa = _asarray(A, dtype, name="A") if A is not None else jnp.zeros(
         (0, n), dtype)
@@ -120,8 +126,8 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
 
     def geff_mv(Df, v, trans=False):
         if trans:
-            return Df.T @ v[:mnl] + Ga.T @ v[mnl:]
-        return jnp.concatenate([Df @ v, Ga @ v])
+            return Df.T @ v[:mnl] + gmv(v[mnl:], trans=True)
+        return jnp.concatenate([Df @ v, gmv(v)])
 
     # initial point (reference cvxprog.py: x = x0, s/z = identity-ish)
     x = x0
@@ -148,7 +154,7 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         rx = c + geff_mv(Df, z, trans=True) + (Aa.T @ y if p else 0.0)
         ry = Aa @ x - b
         rznl = s[:mnl] + f
-        rzl = s[mnl:] + Ga @ x - h
+        rzl = s[mnl:] + gmv(x) - h
         rz = jnp.concatenate([rznl, rzl])
         gap = cones.sdot(edims, s, z)
 
@@ -243,7 +249,7 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
                 rxn = c + geff_mv(Dfn_, zn, trans=True) + (
                     Aa.T @ yn if p else 0.0)
                 rzn = jnp.concatenate(
-                    [sn[:mnl] + fn_, sn[mnl:] + Ga @ xn - h])
+                    [sn[:mnl] + fn_, sn[mnl:] + gmv(xn) - h])
                 newres = float(jnp.linalg.norm(rxn)) + float(
                     cones.snrm2(edims, rzn)) + (
                     float(jnp.linalg.norm(Aa @ xn - b)) if p else 0.0)

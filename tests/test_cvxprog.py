@@ -159,3 +159,75 @@ def test_gp_box_volume():
     ]
     ref = minimize(obj, np.zeros(3), constraints=cons, method="SLSQP")
     np.testing.assert_allclose(sol["primal objective"], ref.fun, atol=1e-4)
+
+
+def test_cpl_operator_G_custom_kkt():
+    """Operator-form G + custom kktsolver through the nonlinear path —
+    the customization contract extended to cpl."""
+    from jax.scipy.linalg import cho_factor, cho_solve
+    c = np.array([-1.0, -1.0])
+    n = 2
+
+    def F(x=None, z=None):
+        if x is None:
+            return 1, jnp.zeros(2)
+        f = jnp.array([x[0] ** 2 + x[1] ** 2 - 1.0])
+        Df = jnp.array([[2 * x[0], 2 * x[1]]])
+        if z is None:
+            return f, Df
+        return f, Df, z[0] * 2.0 * jnp.eye(2)
+
+    # constraint y <= 0.5 expressed as operator G
+    def G(v, trans=False):
+        if trans:
+            return jnp.array([0.0, v[0]])
+        return jnp.array([v[1]])
+
+    h = np.array([0.5])
+    Gd = jnp.array([[0.0, 1.0]])
+
+    def kktsolver(W, H=None, Df=None):
+        d = W.d  # (mnl + 1,) = (dnl scaling, l scaling)
+        Geff = jnp.concatenate([Df, Gd], axis=0)
+        Gs = Geff / d[:, None]
+        K = H + Gs.T @ Gs
+        C = cho_factor(K, lower=True)
+
+        def solve(bx, by, bz):
+            bzs = bz / d
+            ux = cho_solve(C, bx + Gs.T @ bzs)
+            uz = (Gs @ ux - bzs) / d
+            return ux, jnp.zeros((0,), bx.dtype), uz
+
+        return solve
+
+    from kvxopt_tpu.solvers import cpl
+    sol = cpl(c, F, G, h, kktsolver=kktsolver)
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])
+    np.testing.assert_allclose(x[1], 0.5, atol=1e-5)
+    np.testing.assert_allclose(x[0], np.sqrt(1 - 0.25), atol=1e-5)
+
+
+def test_cpl_soc_cone_constraint():
+    # minimize -x0 s.t. x0^2+x1^2 <= 4 (nonlinear) and x in SOC
+    from kvxopt_tpu.cones import ConeDims
+    from kvxopt_tpu.solvers import cpl
+    c = np.array([-1.0, 0.0])
+
+    def F(x=None, z=None):
+        if x is None:
+            return 1, jnp.zeros(2)
+        f = jnp.array([x[0] ** 2 + x[1] ** 2 - 4.0])
+        Df = jnp.array([[2 * x[0], 2 * x[1]]])
+        if z is None:
+            return f, Df
+        return f, Df, z[0] * 2.0 * jnp.eye(2)
+
+    # -x in SOC^2: |x1| <= x0
+    G = -np.eye(2)
+    h = np.zeros(2)
+    sol = cpl(c, F, G, h, dims=ConeDims(l=0, q=(2,)))
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol["x"]), [2.0, 0.0],
+                               atol=1e-4)

@@ -167,3 +167,51 @@ def test_arrow_kkt_sharded():
     bfull = np.concatenate([np.asarray(bblk).reshape(-1),
                             np.asarray(bbrd)])
     np.testing.assert_allclose(K @ xfull, bfull, atol=1e-8)
+
+
+def test_batched_sdp_vmap():
+    """Batched SDP scenarios through the conelp core (eigh under vmap)."""
+    import jax.numpy as jnp
+    from kvxopt_tpu.parallel import batched_lp_solver
+    from kvxopt_tpu.solvers import conelp
+    rng = np.random.default_rng(9)
+    B, n, m = 3, 2, 2
+    dims = ConeDims(l=0, s=(m,))
+    cs = np.tile([1.0, 1.0], (B, 1))
+    Gs = np.zeros((B, m * m, n))
+    hs = np.zeros((B, m * m))
+    for i in range(B):
+        Gs[i] = np.column_stack([np.diag([-1.0, 0.0]).ravel(),
+                                 np.diag([0.0, -1.0]).ravel()])
+        off = 1.0 + 0.5 * i
+        hs[i] = np.array([[0.0, -off], [-off, 0.0]]).ravel()
+    vsolve = batched_lp_solver(dims)
+    x, y, s, z, tau, kappa, it, status, metrics = vsolve(
+        jnp.asarray(cs), jnp.asarray(Gs), jnp.asarray(hs))
+    assert (np.asarray(status) == OPTIMAL).all()
+    for i in range(B):
+        # x1 x2 >= off^2 with min x1+x2 -> x = (off, off)
+        off = 1.0 + 0.5 * i
+        np.testing.assert_allclose(
+            np.asarray(x[i]) / np.asarray(tau[i]), [off, off], atol=1e-5)
+
+
+def test_solver_float32_dtype():
+    """options['dtype']='float32': the all-f32 TPU fast path at relaxed
+    tolerances."""
+    from kvxopt_tpu.solvers import qp
+    rng = np.random.default_rng(10)
+    n, m = 6, 10
+    M = rng.standard_normal((n, n)).astype(np.float32)
+    P = M @ M.T + n * np.eye(n, dtype=np.float32)
+    q = rng.standard_normal(n).astype(np.float32)
+    G = rng.standard_normal((m, n)).astype(np.float32)
+    h = G @ rng.standard_normal(n).astype(np.float32) + 1.0
+    sol = qp(P, q, G, h, options={"dtype": "float32", "abstol": 1e-4,
+                                  "reltol": 1e-4, "feastol": 1e-4})
+    assert sol["status"] == "optimal"
+    assert sol["x"].dtype == np.float32
+    ref = qp(np.asarray(P, np.float64), np.asarray(q, np.float64),
+             np.asarray(G, np.float64), np.asarray(h, np.float64))
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               np.asarray(ref["x"]), atol=1e-2)
