@@ -23,6 +23,19 @@ import jax
 if not os.environ.get("KVXOPT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: IPM programs are large and the first
+# compile per shape is expensive (especially through remote-compile
+# toolchains); cache them across processes.
+try:
+    _cache_dir = os.environ.get(
+        "KVXOPT_TPU_CACHE", os.path.expanduser("~/.cache/kvxopt_tpu_jax"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a requirement
+    pass
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 default_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

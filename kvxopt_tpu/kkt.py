@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from . import cones
-from .cones import ConeDims, NTScaling
+from .cones import ConeDims
 
 STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr", "chol2_mixed")
 

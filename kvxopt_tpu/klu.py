@@ -15,7 +15,7 @@ R*P*A*Q = L*U + F (klu.c:382)."""
 import numpy as np
 
 from .base import matrix, spmatrix
-from .sparse import canon_csc, perm_spmatrix
+from .sparse import perm_spmatrix
 from .sparse.lu import SymbolicLU, NumericLU
 
 options = {}

@@ -8,8 +8,6 @@ reference mutates matrices in place, these return new arrays (the
 jit-compatible design); dims may be a ConeDims or the reference's
 {'l':..., 'q':[...], 's':[...]} dict."""
 
-from functools import partial
-
 import jax.numpy as jnp
 
 from . import cones as _c

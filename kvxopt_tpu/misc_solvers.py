@@ -12,7 +12,6 @@ from .misc import (  # noqa: F401
     max_step, compute_scaling, update_scaling)
 
 import numpy as _np
-import jax.numpy as _jnp
 
 
 def trisc(x, dims, offset=0):

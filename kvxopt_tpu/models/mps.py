@@ -6,13 +6,11 @@ Supports NAME/ROWS (N,L,G,E)/COLUMNS/RHS/RANGES/BOUNDS
 vector variable (one entry per MPS column) plus the row constraints into
 the given op; writing emits the canonicalized LP."""
 
-import numbers
-
 import numpy as np
 
 
 def read_mps(problem, f):
-    from .modeling import variable, affine, constraint, op
+    from .modeling import variable, affine
 
     close = False
     if isinstance(f, str):

@@ -9,14 +9,12 @@ scenarios spread across chips with zero communication.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import cones, kkt, config
+from .. import kkt
 from ..cones import ConeDims
 from ..solvers.coneprog import Options, _coneqp_core
 

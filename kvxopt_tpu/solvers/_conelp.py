@@ -30,12 +30,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import cones, kkt, config
+from .. import cones, kkt
 from ..cones import ConeDims
 from .coneprog import (
     RUNNING, OPTIMAL, UNKNOWN, PRIMAL_INFEASIBLE, DUAL_INFEASIBLE, SINGULAR,
-    _STATUS_STR, STEP, EXPON, Options, _resolve_options, _asarray, _relgap,
-    _max_feasible_step)
+    _STATUS_STR, STEP, EXPON, Options, _resolve_options, _asarray, _relgap)
 
 
 def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,

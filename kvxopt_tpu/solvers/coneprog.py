@@ -25,7 +25,6 @@ float64; see kvxopt_tpu.config for the TPU mixed-precision strategy).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

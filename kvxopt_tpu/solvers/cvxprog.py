@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from .. import cones, kkt, config
 from ..cones import ConeDims
 from .coneprog import (
-    RUNNING, OPTIMAL, UNKNOWN, SINGULAR, _STATUS_STR, STEP, EXPON,
-    Options, _resolve_options, _asarray, _relgap)
+    OPTIMAL, UNKNOWN, SINGULAR, _STATUS_STR, STEP, EXPON,
+    _resolve_options, _asarray, _relgap)
 
 
 def oracle_from_function(f, x0, mnl=None):

@@ -10,7 +10,7 @@ left-looking LU in kvxopt_tpu/native/host.cpp (no row scaling: R = I)."""
 import numpy as np
 
 from .base import matrix, spmatrix
-from .sparse import canon_csc, perm_spmatrix
+from .sparse import perm_spmatrix
 from .sparse.lu import SymbolicLU, NumericLU
 
 
