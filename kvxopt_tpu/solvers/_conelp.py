@@ -95,6 +95,15 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
                if dualstart.get("y") is not None else jnp.zeros((0,), dtype),
                _asarray(dualstart["z"], dtype))
 
+    # fast path: standard array inputs reuse a cached jitted solver (no
+    # retracing on repeated same-shape solves)
+    if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)
+            and ps is None and dst is None):
+        from .coneprog import _cached_lp_solver
+        solve_fn = _cached_lp_solver(dims, kktsolver, o)
+        state = solve_fn(c, Ga, h, Aa, b)
+        return _conelp_result(state, c, h, b, dims)
+
     state = _conelp_core(c, Ga, h, Aa, b, dims, o, factor, gmv, amv,
                          dtype, ps, dst)
     return _conelp_result(state, c, h, b, dims)

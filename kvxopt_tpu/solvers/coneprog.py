@@ -186,6 +186,19 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
                              (Aa.T @ x if trans else Aa @ x))
     pmv = P if P_is_op else (lambda x: Pa @ x)
 
+    # fast path: standard array inputs reuse a cached jitted solver, so
+    # repeated same-shape solves skip retracing (the reference's repeated
+    # CPU solves analogue)
+    if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
+            and initvals is None):
+        solve_fn = _cached_qp_solver(dims, kktsolver, o)
+        Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
+        state = solve_fn(Pz, q, Ga, h, Aa, b)
+        (x, y, s, z, it, status, m) = state
+        metrics = _qp_metrics_dict(dims, m, s, z)
+        return _result_dict(int(status), x, y, s, z, dims, metrics,
+                            int(it) - 1)
+
     init = None
     if initvals is not None:
         # partial initvals get the reference's defaults (coneprog.py:1441
@@ -205,6 +218,21 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     metrics = _qp_metrics_dict(dims, m, s, z)
     return _result_dict(int(status), x, y, s, z, dims, metrics,
                         int(it) - 1)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_qp_solver(dims, kktsolver, o: Options):
+    from ..parallel.batch import make_qp_solver
+    return jax.jit(make_qp_solver(dims, kktsolver, o))
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_lp_solver(dims, kktsolver, o: Options):
+    from ..parallel.batch import make_lp_solver
+    return jax.jit(make_lp_solver(dims, kktsolver, o))
 
 
 def _qp_metrics_dict(dims, m: Metrics, s, z):
