@@ -51,3 +51,15 @@ def test_acent_example():
     import acent as ex
     sol = ex.main()
     assert sol["status"] == "optimal"
+
+
+def test_chebyshev_example():
+    import chebyshev as ex
+    sol = ex.main()
+    assert sol["status"] == "optimal"
+
+
+def test_robls_example():
+    import robls as ex
+    sol = ex.main()
+    assert sol["status"] == "optimal"
