@@ -418,9 +418,13 @@ def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
 def socp(c, Gl=None, hl=None, Gq=None, hq=None, A=None, b=None,
          solver=None, primalstart=None, dualstart=None, kktsolver=None,
          options=None):
-    """SOCP in natural form: minimize c'x s.t. Gl x <= hl,
-    ||Gq[k] x + hq[k]||_2-style SOC constraints (reference packing:
-    zq[k] = (z0, z1) with Gq[k]'... coneprog.py:3044)."""
+    """SOCP in natural form: minimize c'x s.t. Gl x <= hl plus
+    second-order cone blocks s_k = h_k - G_k x in Q (reference
+    coneprog.py:3044).  solver='mosek' dispatches to the MOSEK bridge
+    (requires the mosek package), as the reference (coneprog.py:3363)."""
+    if solver == "mosek":
+        from .. import msk
+        return msk.socp(c, Gl, hl, Gq, hq, options=options)
     c = np.asarray(c, dtype=float).reshape(-1)
     Gs, hs, ql = [], [], []
     l = 0

@@ -243,3 +243,24 @@ def test_solver_accepts_matrix_types():
     sol = lp(c, G, h)
     assert sol["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(sol["x"]), [1.0, 1.0], atol=1e-6)
+
+
+def test_spmatrix_pickle():
+    S = spmatrix([1.0, 2.0, 3.0], [0, 1, 2], [0, 1, 2], size=(4, 4))
+    T = pickle.loads(pickle.dumps(S))
+    assert T.size == S.size and len(T) == len(S)
+    np.testing.assert_allclose(np.asarray(T), np.asarray(S))
+
+
+def test_printing_width_height_options():
+    from kvxopt_tpu import printing
+    old = dict(printing.options)
+    try:
+        printing.options["width"] = 2
+        printing.options["height"] = 2
+        A = matrix(np.arange(25.0).reshape(5, 5))
+        s = str(A)
+        assert "..." in s and "[...]" in s
+    finally:
+        printing.options.clear()
+        printing.options.update(old)
