@@ -23,6 +23,12 @@ import jax
 if not os.environ.get("KVXOPT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 matmuls default to bfloat16 passes — far too coarse for
+# interior-point iterations.  Force true-f32 matmul precision (the f64
+# path is unaffected; opt out with KVXOPT_TPU_FAST_MATMUL=1).
+if not os.environ.get("KVXOPT_TPU_FAST_MATMUL"):
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: IPM programs are large and the first
 # compile per shape is expensive (especially through remote-compile
 # toolchains); cache them across processes.
