@@ -41,6 +41,7 @@ def make_qp_solver(dims, kktsolver=None, options=None, with_eq=False):
     dims = ConeDims.from_dict(dims)
     o = options if isinstance(options, Options) else Options(
         **(options or {}))
+    o = o.resolve_refinement(dims)
     if kktsolver is None:
         kktsolver = "chol" if (dims.q or dims.s) else "chol2"
 
@@ -67,6 +68,7 @@ def make_lp_solver(dims, kktsolver=None, options=None):
     dims = ConeDims.from_dict(dims)
     o = options if isinstance(options, Options) else Options(
         **(options or {}))
+    o = o.resolve_refinement(dims)
     if kktsolver is None:
         kktsolver = "qr" if (dims.q or dims.s) else "chol2"
 

@@ -95,6 +95,7 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
                if dualstart.get("y") is not None else jnp.zeros((0,), dtype),
                _asarray(dualstart["z"], dtype))
 
+    o = o.resolve_refinement(dims)
     # fast path: standard array inputs reuse a cached jitted solver (no
     # retracing on repeated same-shape solves)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)

@@ -55,9 +55,16 @@ class Options(NamedTuple):
     abstol: float = 1e-7
     reltol: float = 1e-6
     feastol: float = 1e-7
-    refinement: int = 1
+    refinement: int = -1   # -1 = auto: 1 with q/s cones else 0
+                           # (the reference's default, coneprog.py:436)
     show_progress: bool = False
     kktreg: float = 0.0
+
+    def resolve_refinement(self, dims):
+        if self.refinement >= 0:
+            return self
+        return self._replace(
+            refinement=1 if (dims.q or dims.s) else 0)
 
 
 def _resolve_options(options):
@@ -70,7 +77,7 @@ def _resolve_options(options):
         abstol=float(merged.get("abstol", 1e-7)),
         reltol=float(merged.get("reltol", 1e-6)),
         feastol=float(merged.get("feastol", 1e-7)),
-        refinement=int(merged.get("refinement", 1)),
+        refinement=int(merged.get("refinement", -1)),
         show_progress=bool(merged.get("show_progress", False)),
         kktreg=float(merged.get("kktreg", 0.0) or 0.0),
     )
@@ -189,6 +196,7 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     # fast path: standard array inputs reuse a cached jitted solver, so
     # repeated same-shape solves skip retracing (the reference's repeated
     # CPU solves analogue)
+    o = o.resolve_refinement(dims)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
             and initvals is None):
         solve_fn = _cached_qp_solver(dims, kktsolver, o)

@@ -99,6 +99,7 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         (0,), dtype)
     p = b.shape[0]
 
+    o = o.resolve_refinement(dims)
     edims = dims.with_extra_l(mnl)
     edeg = edims.degree
     e = cones.cone_e(edims, dtype)
