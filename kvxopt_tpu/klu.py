@@ -8,29 +8,33 @@ recomputes values (klu_refactor), falling back to a full factorization on
 numerical failure (klu.c:296-302) — the workhorse for repeated solves with
 fixed sparsity (power-flow Jacobians etc.).
 
-This implementation performs no BTF permutation or row scaling, so
-get_numeric returns F = 0, r = [0, n] and R = I in the identity
-R*P*A*Q = L*U + F (klu.c:382)."""
+Like the reference, the pipeline is the full KLU one: maximum
+transversal + strongly-connected components put A into block upper
+triangular form (BTF), each diagonal block factors independently, and
+off-diagonal entries land in F.  No row scaling (R = I).  The factor
+identity (klu.c:382) holds exactly: R*P*A*Q = L*U + F with r the block
+boundaries."""
 
 import numpy as np
 
 from .base import matrix, spmatrix
 from .sparse import perm_spmatrix
-from .sparse.lu import SymbolicLU, NumericLU
+from .sparse.btf import BTFSymbolic, BTFNumeric
 
 options = {}
 
 
 def symbolic(A):
-    """Symbolic analysis (klu.c:234)."""
-    return SymbolicLU(A)
+    """Symbolic analysis: BTF permutations + per-block orderings
+    (klu.c:234)."""
+    return BTFSymbolic(A)
 
 
 def numeric(A, Fs, N=None):
-    """Numeric factorization; with N given, attempt fast refactorization
-    reusing N's pattern and pivots, with automatic fallback to a full
-    factorization (klu.c:296-302)."""
-    return NumericLU(A, Fs, refactor_from=N)
+    """Numeric factorization; with N given, attempt fast per-block
+    refactorization reusing N's patterns and pivots, with automatic
+    fallback to full factorization (klu.c:296-302)."""
+    return BTFNumeric(A, Fs, refactor_from=N)
 
 
 def _solve_into(B, Fn, trans):
@@ -38,7 +42,7 @@ def _solve_into(B, Fn, trans):
         raise TypeError("B must be a dense matrix")
     arr = np.asarray(B)
     out = Fn.solve_inplace(arr, trans)
-    B._a = np.asfortranarray(out.astype(B._a.dtype))
+    B._a = np.asfortranarray(out.reshape(B._a.shape).astype(B._a.dtype))
 
 
 def solve(A, Fs, Fn, B, trans="N"):
@@ -55,15 +59,16 @@ def linsolve(A, B, trans="N"):
 
 def get_numeric(A, Fs, Fn):
     """Export factors (L, U, P, Q, R, F, r) with R*P*A*Q = L*U + F
-    (klu.c:382).  No BTF / row scaling here: F = 0, r = [0, n], R = I."""
-    L, U, p, q = Fn.get_factors()
+    (klu.c:382).  R = I (no row scaling); r holds the BTF block
+    boundaries."""
+    L, U, p, q, F, r = Fn.get_factors()
     n = Fn.n
     P = perm_spmatrix(p)
     Q = perm_spmatrix(q).T
     R = spmatrix(np.ones(n), np.arange(n), np.arange(n), size=(n, n))
-    F = spmatrix([], [], [], size=(n, n))
-    r = matrix(np.array([0, n], dtype=np.int64).reshape(-1, 1))
-    return (spmatrix._from_csc(L), spmatrix._from_csc(U), P, Q, R, F, r)
+    Fsp = spmatrix._from_csc(F)
+    return (spmatrix._from_csc(L), spmatrix._from_csc(U), P, Q, R, Fsp,
+            matrix(np.asarray(r, dtype=np.int64).reshape(-1, 1)))
 
 
 def get_det(A, Fs, Fn):

@@ -102,7 +102,8 @@ def test_klu_factor_identity(complex_):
     L, U, P, Q, R, F, r = klu.get_numeric(A, Fs, Fn)
     rho = norm(R * P * A * Q - (L * U + F), "1")
     assert rho < 1e-10
-    assert np.asarray(r).reshape(-1).tolist() == [0, 60]
+    rv = np.asarray(r).reshape(-1)
+    assert rv[0] == 0 and rv[-1] == 60 and (np.diff(rv) > 0).all()
 
 
 def test_klu_refactorization():
@@ -319,3 +320,42 @@ def test_cholmod_complex_hermitian():
     cholmod.solve(F, x2)
     np.testing.assert_allclose(2.0 * (H.toarray() @ np.asarray(x2)), b,
                                atol=1e-8)
+
+
+def test_klu_btf_block_structure():
+    """A reducible matrix must produce a nontrivial BTF with the factor
+    identity and solves exact (the full KLU pipeline)."""
+    from kvxopt_tpu import normal
+    rng = np.random.default_rng(20)
+    # block upper triangular by construction, then scrambled
+    n1, n2, n3 = 8, 5, 7
+    n = n1 + n2 + n3
+    B = np.zeros((n, n))
+    def dense_blk(k, seed):
+        M = np.random.default_rng(seed).standard_normal((k, k))
+        return M + k * np.eye(k)
+    B[:n1, :n1] = dense_blk(n1, 1)
+    B[n1:n1+n2, n1:n1+n2] = dense_blk(n2, 2)
+    B[n1+n2:, n1+n2:] = dense_blk(n3, 3)
+    B[:n1, n1:] = rng.standard_normal((n1, n2 + n3)) * 0.3
+    B[n1:n1+n2, n1+n2:] = rng.standard_normal((n2, n3)) * 0.3
+    pr = rng.permutation(n); pc = rng.permutation(n)
+    A0 = B[pr][:, pc]
+    A = spmatrix._from_csc(sp.csc_matrix(A0))
+    Fs = klu.symbolic(A)
+    Fn = klu.numeric(A, Fs)
+    L, U, P, Q, R, F, r = klu.get_numeric(A, Fs, Fn)
+    rho = norm(R * P * A * Q - (L * U + F), "1")
+    assert rho < 1e-10
+    rv = np.asarray(r).reshape(-1)
+    assert len(rv) >= 4  # at least the three constructed blocks
+    assert len(F) > 0    # genuine off-diagonal coupling
+    b = np.asarray(normal(n, 2))
+    for tr in ("N", "T"):
+        x = matrix(b.copy())
+        klu.solve(A, Fs, Fn, x, trans=tr)
+        Am = A0 if tr == "N" else A0.T
+        np.testing.assert_allclose(Am @ np.asarray(x), b, atol=1e-8)
+    # determinant across blocks and permutations
+    np.testing.assert_allclose(klu.get_det(A, Fs, Fn),
+                               np.linalg.det(A0), rtol=1e-8)
