@@ -393,6 +393,41 @@ def _tk_step(tau, kappa, dt, dk):
 # ---------------------------------------------------------------------------
 
 
+def _ruiz_equilibrate(c, G, h, A, b, iters=6):
+    """Ruiz equilibration of an LP: returns scaled data plus the row/col
+    scalings (dr, dc) with G' = diag(dr) G diag(dc).  l-cone only."""
+    G = np.asarray(G, dtype=float)
+    c = np.asarray(c, dtype=float).reshape(-1)
+    h = np.asarray(h, dtype=float).reshape(-1)
+    m, n = G.shape
+    Aa = np.asarray(A, dtype=float).reshape(-1, n) if A is not None \
+        else np.zeros((0, n))
+    dr = np.ones(m)
+    dra = np.ones(Aa.shape[0])
+    dc = np.ones(n)
+    Gs, As = G.copy(), Aa.copy()
+    for _ in range(iters):
+        rmax = np.maximum(np.abs(Gs).max(axis=1), 1e-12)
+        ramax = np.maximum(np.abs(As).max(axis=1), 1e-12) \
+            if len(As) else np.ones(0)
+        stacked = np.vstack([Gs, As]) if len(As) else Gs
+        cmax = np.maximum(np.abs(stacked).max(axis=0), 1e-12)
+        sr = 1.0 / np.sqrt(rmax)
+        sra = 1.0 / np.sqrt(ramax)
+        sc = 1.0 / np.sqrt(cmax)
+        Gs = Gs * sr[:, None] * sc[None, :]
+        if len(As):
+            As = As * sra[:, None] * sc[None, :]
+        dr *= sr
+        dra *= sra
+        dc *= sc
+    return (c * dc, Gs, h * dr,
+            As if A is not None else None,
+            (np.asarray(b, dtype=float).reshape(-1) * dra
+             if b is not None else None),
+            dr, dra, dc)
+
+
 def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
        dualstart=None, kktsolver=None, options=None):
     """LP: minimize c'x s.t. Gx <= h, Ax = b.  `solver` accepts None
@@ -411,6 +446,24 @@ def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
         return {"status": "optimal" if "optimal" in str(status).lower()
                 else "unknown", "x": x, "y": None, "z": None, "s": None}
     h = np.asarray(h, dtype=float).reshape(-1)
+    if options and options.get("equilibrate"):
+        # Ruiz presolve for badly scaled LPs (build-side option; see
+        # docs/coneprog.md).  Solve the scaled problem, unscale iterates.
+        cs, Gs, hs, As, bs, dr, dra, dc = _ruiz_equilibrate(
+            np.asarray(c, dtype=float).reshape(-1), G, h, A, b)
+        opts2 = {k: v for k, v in options.items() if k != "equilibrate"}
+        sol = conelp(cs, Gs, hs, {"l": h.shape[0]}, As, bs,
+                     kktsolver=kktsolver, options=opts2)
+        sol = dict(sol)
+        if sol.get("x") is not None:
+            sol["x"] = np.asarray(sol["x"]).reshape(-1) * dc
+        if sol.get("s") is not None:
+            sol["s"] = np.asarray(sol["s"]).reshape(-1) / dr
+        if sol.get("z") is not None:
+            sol["z"] = np.asarray(sol["z"]).reshape(-1) * dr
+        if A is not None and sol.get("y") is not None:
+            sol["y"] = np.asarray(sol["y"]).reshape(-1) * dra
+        return sol
     return conelp(c, G, h, {"l": h.shape[0]}, A, b,
                   primalstart=primalstart, dualstart=dualstart,
                   kktsolver=kktsolver, options=options)

@@ -201,3 +201,28 @@ def test_show_progress_prints(capsys):
     assert sol["status"] == "optimal"
     out = capsys.readouterr().out
     assert "pcost" in out and "dcost" in out
+
+
+def test_lp_equilibrate_badly_scaled():
+    # rows/columns spanning 10 orders of magnitude
+    rng = np.random.default_rng(13)
+    n, m = 6, 12
+    G0 = rng.standard_normal((m, n))
+    rscale = 10.0 ** rng.uniform(-5, 5, m)
+    cscale = 10.0 ** rng.uniform(-4, 4, n)
+    G = G0 * rscale[:, None] * cscale[None, :]
+    x0 = rng.standard_normal(n) / cscale
+    h = G @ x0 + rscale * rng.uniform(0.5, 1.5, m)
+    z0 = rng.uniform(0.1, 1.0, m) / rscale
+    c = -G.T @ z0
+    sol = lp(c, G, h, options={"equilibrate": True})
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"]).reshape(-1)
+    z = np.asarray(sol["z"]).reshape(-1)
+    # unscaled KKT conditions hold
+    assert (G @ x <= h + 1e-6 * np.abs(h).max()).all()
+    assert np.linalg.norm(G.T @ z + c) < 1e-5 * np.linalg.norm(c)
+    from scipy.optimize import linprog
+    ref = linprog(c, A_ub=G, b_ub=h, bounds=(None, None), method="highs")
+    if ref.status == 0:
+        np.testing.assert_allclose(float(c @ x), ref.fun, rtol=1e-5)
