@@ -174,8 +174,10 @@ def read_mps(problem, f):
 
 
 def write_mps(problem, f):
-    from .modeling import affine
-
+    """Emit the canonicalized LP.  Inequality rows carry the originating
+    constraint's name when it has one (suffixed by the row index within
+    the constraint); all variables are written free (the canonical form
+    encodes bounds as rows)."""
     close = False
     if isinstance(f, str):
         f = open(f, "w")
@@ -184,11 +186,18 @@ def write_mps(problem, f):
         (cvec, const0, G, h, A, b, var_index, ineq_rows, varlist,
          con_aux) = problem._build_lp()
         n = len(cvec)
+        rownames = [f"GROW{i}" for i in range(G.shape[0])]
+        for c, _aux in con_aux:
+            if c in ineq_rows and c.name:
+                s0, m = ineq_rows[c]
+                base = "".join(ch for ch in c.name if ch.isalnum())[:6]
+                for k in range(m):
+                    rownames[s0 + k] = f"{base}_{k}" if m > 1 else base
         f.write(f"NAME          {problem.name or 'KVXOPT'}\n")
         f.write("ROWS\n")
         f.write(" N  COST\n")
-        for i in range(G.shape[0]):
-            f.write(f" L  GROW{i}\n")
+        for name in rownames:
+            f.write(f" L  {name}\n")
         mA = A.shape[0] if A is not None else 0
         for i in range(mA):
             f.write(f" E  AROW{i}\n")
@@ -198,14 +207,14 @@ def write_mps(problem, f):
                 f.write(f"    X{j}  COST  {cvec[j]:.17g}\n")
             for i in range(G.shape[0]):
                 if G[i, j] != 0.0:
-                    f.write(f"    X{j}  GROW{i}  {G[i, j]:.17g}\n")
+                    f.write(f"    X{j}  {rownames[i]}  {G[i, j]:.17g}\n")
             for i in range(mA):
                 if A[i, j] != 0.0:
                     f.write(f"    X{j}  AROW{i}  {A[i, j]:.17g}\n")
         f.write("RHS\n")
         for i in range(G.shape[0]):
             if h[i] != 0.0:
-                f.write(f"    RHS  GROW{i}  {h[i]:.17g}\n")
+                f.write(f"    RHS  {rownames[i]}  {h[i]:.17g}\n")
         for i in range(mA):
             if b[i] != 0.0:
                 f.write(f"    RHS  AROW{i}  {b[i]:.17g}\n")
