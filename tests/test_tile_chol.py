@@ -93,3 +93,75 @@ def test_tile_chol_bcsstk13_structure():
     x = tc.solve(X, jnp.asarray(b))
     res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
     assert res < 1e-8
+
+
+def test_tile_chol_vmap_scenarios():
+    """Scenario-batched sparse refactorization: vmap the numeric phase
+    over a batch of same-pattern matrices."""
+    n, ts = 128, 32
+    A0 = block_banded_spd(n, 20, seed=6)
+    pat = tile_pattern_from_sparse(sp.csc_matrix(np.tril(A0)), ts)
+    tc = TileCholesky(pat, n, ts)
+    B = 4
+    scales = 1.0 + 0.2 * np.arange(B)
+    Xs = jnp.stack([tc.tiles_from_dense(jnp.asarray(A0 * s))
+                    for s in scales])
+    Ls = jax.jit(jax.vmap(tc.factor))(Xs)
+    for i, s in enumerate(scales):
+        L = np.tril(np.asarray(tc.dense_from_tiles(Ls[i])))
+        np.testing.assert_allclose(L @ L.T, A0 * s, atol=1e-7)
+
+
+def test_ipm_with_tile_sparse_kkt_on_device():
+    """The whole sparse-KKT IPM as ONE jitted program: the custom
+    kktsolver runs the tile-sparse numeric factorization *inside* the
+    lax.while_loop — symbolic on host once, numeric refactorization on
+    device every iteration, no host callbacks (SURVEY.md section 7 step
+    5, realized end-to-end)."""
+    from kvxopt_tpu.cones import ConeDims
+    from kvxopt_tpu.solvers import conelp
+
+    n, ts = 96, 32
+    rng = np.random.default_rng(7)
+    # banded sparse G (m = n) plus box rows
+    Gband = np.zeros((n, n))
+    for k in range(-6, 7):
+        Gband += np.diag(rng.standard_normal(n - abs(k)) * 0.3, k)
+    Gband += (8.0) * np.eye(n)
+    G = np.vstack([Gband, np.eye(n), -np.eye(n)])
+    N = G.shape[0]
+    x0 = rng.standard_normal(n) * 0.1
+    h = np.concatenate([Gband @ x0 + rng.uniform(0.5, 1.5, n),
+                        np.full(n, 4.0), np.full(n, 4.0)])
+    c = -G.T @ rng.uniform(0.1, 1.0, N)
+
+    # K = G' D^-2 G has (banded + diagonal) structure = banded
+    Kpat_mat = sp.csc_matrix(
+        (np.abs(Gband.T) @ np.abs(Gband) + np.eye(n)) > 1e-12)
+    pat = tile_pattern_from_sparse(sp.tril(Kpat_mat), ts)
+    tc = TileCholesky(pat, n, ts)
+    Gd = jnp.asarray(G)
+    calls = []
+
+    def kktsolver(W, H=None, Df=None):
+        d = W.d
+        Gs = Gd / d[:, None]
+        K = Gs.T @ Gs
+        X = tc.factor(tc.tiles_from_dense(K))
+        calls.append(1)
+
+        def solve(bx, by, bz):
+            bzs = bz / d
+            ux = tc.solve(X, bx + Gs.T @ bzs)
+            uz = (Gs @ ux - bzs) / d
+            return ux, jnp.zeros((0,), bx.dtype), uz
+
+        return solve
+
+    sol = conelp(c, Gd, h, ConeDims(l=N), kktsolver=kktsolver)
+    assert sol["status"] == "optimal"
+    # traced once (the factorization lives inside the jitted loop)
+    assert len(calls) <= 2
+    ref = conelp(c, Gd, h, ConeDims(l=N))
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               np.asarray(ref["x"]), atol=1e-5)
