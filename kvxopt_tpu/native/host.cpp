@@ -53,14 +53,24 @@ void mindeg_order(i64 n, const i64* colptr, const i64* rowind, i64* perm) {
   std::vector<i64> degree(n);
   for (i64 j = 0; j < n; ++j) degree[j] = (i64)adj[j].size();
 
-  // bucket list by degree for O(1) min selection with lazy repositioning
+  // degree buckets with lazy deletion: selection amortizes to
+  // O(n + updates) instead of the naive O(n^2) scan
+  std::vector<std::vector<i64>> bucket(n + 1);
+  for (i64 j = 0; j < n; ++j) bucket[degree[j]].push_back(j);
+  i64 cur = 0;
+  auto push_bucket = [&](i64 v) {
+    bucket[degree[v]].push_back(v);
+    if (degree[v] < cur) cur = degree[v];
+  };
   for (i64 k = 0; k < n; ++k) {
-    i64 best = -1, bestdeg = n + 1;
-    for (i64 j = 0; j < n; ++j)
-      if (!eliminated[j] && degree[j] < bestdeg) {
-        bestdeg = degree[j];
-        best = j;
-      }
+    i64 best = -1;
+    while (best < 0) {
+      while (cur <= n && bucket[cur].empty()) cur++;
+      i64 cand = bucket[cur].back();
+      bucket[cur].pop_back();
+      // lazy: skip stale entries (eliminated or degree changed)
+      if (!eliminated[cand] && degree[cand] == cur) best = cand;
+    }
     perm[k] = best;
     eliminated[best] = 1;
     std::vector<i64> live;
@@ -78,7 +88,10 @@ void mindeg_order(i64 n, const i64* colptr, const i64* rowind, i64* perm) {
       merged.erase(std::unique(merged.begin(), merged.end()),
                    merged.end());
       adj[v].swap(merged);
-      degree[v] = (i64)adj[v].size();
+      if ((i64)adj[v].size() != degree[v]) {
+        degree[v] = (i64)adj[v].size();
+        push_bucket(v);
+      }
     }
     adj[best].clear();
     adj[best].shrink_to_fit();
