@@ -136,3 +136,72 @@ def test_random_infeasible_lp(seed):
     assert (z >= -1e-7).all()
     np.testing.assert_allclose(G.T @ z, 0, atol=1e-5)
     np.testing.assert_allclose(h @ z, -1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_bounded_gp(seed):
+    from kvxopt_tpu.solvers import gp
+    rng = np.random.default_rng(4000 + seed)
+    n = 4
+    K = [2, 3, 2]
+    F = rng.standard_normal((sum(K), n))
+    Fb = np.vstack([np.eye(n), -np.eye(n)])
+    K2 = [2 + 2 * n] + K[1:]
+    F2 = np.vstack([F[:2], Fb, F[2:]])
+    g2 = np.concatenate([rng.standard_normal(2) * 0.5, np.zeros(2 * n),
+                         rng.standard_normal(sum(K) - 2) * 0.5 - 1.0])
+    sol = gp(K2, F2, g2)
+    assert sol["status"] == "optimal"
+    from scipy.optimize import minimize
+    ofs = np.concatenate([[0], np.cumsum(K2)])
+
+    def lse(v, i):
+        y = F2[ofs[i]:ofs[i + 1]] @ v + g2[ofs[i]:ofs[i + 1]]
+        m = np.max(y)
+        return m + np.log(np.exp(y - m).sum())
+
+    cons = [{"type": "ineq", "fun": (lambda v, i=i: -lse(v, i))}
+            for i in range(1, len(K2))]
+    ref = minimize(lambda v: lse(v, 0), np.zeros(n), constraints=cons,
+                   method="SLSQP")
+    if ref.success:
+        np.testing.assert_allclose(sol["primal objective"], ref.fun,
+                                   atol=1e-3)
+
+
+def test_unbounded_gp_returns_unknown():
+    # a genuinely unbounded GP must come back 'unknown', not diverge
+    from kvxopt_tpu.solvers import gp
+    rng = np.random.default_rng(2000)
+    n, K = 4, [1, 3, 2]
+    F = rng.standard_normal((sum(K), n))
+    g = rng.standard_normal(sum(K)) * 0.5
+    sol = gp(K, F, g)
+    assert sol["status"] == "unknown"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_qcp_autodiff(seed):
+    import jax.numpy as jnp
+    from kvxopt_tpu.solvers import cpl
+    from kvxopt_tpu.solvers.cvxprog import oracle_from_function
+    rng = np.random.default_rng(3000 + seed)
+    n, mq = 4, 2
+    Ps = [(lambda M: M @ M.T + np.eye(n))(rng.standard_normal((n, n)))
+          for _ in range(mq)]
+    centers = [rng.standard_normal(n) * 0.3 for _ in range(mq)]
+    rads = rng.uniform(1.0, 3.0, mq)
+    c = rng.standard_normal(n)
+
+    def fcons(x):
+        return jnp.stack([
+            (x - jnp.asarray(cen)) @ jnp.asarray(P) @
+            (x - jnp.asarray(cen)) - float(r)
+            for P, cen, r in zip(Ps, centers, rads)])
+
+    F = oracle_from_function(fcons, np.zeros(n))
+    sol = cpl(c, F)
+    assert sol["status"] == "optimal"
+    x = np.asarray(sol["x"])
+    for P, cen, r in zip(Ps, centers, rads):
+        assert (x - cen) @ P @ (x - cen) <= r + 1e-5
