@@ -211,18 +211,20 @@ class pwl:
 
     def __init__(self, aff, blocks):
         self.aff = aff
-        self.blocks = [[affine.from_any(p, len(aff)) for p in blk]
+        self.blocks = [[p if isinstance(p, pwl)
+                        else affine.from_any(p, len(aff)) for p in blk]
                        for blk in blocks]
 
     def __len__(self):
         return len(self.aff)
 
     def _flat_pieces(self):
-        """If single-block with zero extra affine terms? Flatten
-        aff + max(block) into pieces aff + p_k (valid for one block)."""
+        """Flatten aff + max(block) into pieces aff + p_k (valid for a
+        single block; pieces may themselves be PWL)."""
         if len(self.blocks) != 1:
             raise TypeError("cannot flatten a multi-block PWL function")
-        return [self.aff + p for p in self.blocks[0]]
+        return [p + self.aff if isinstance(p, pwl) else self.aff + p
+                for p in self.blocks[0]]
 
     def __add__(self, o):
         if isinstance(o, pwl):
@@ -262,6 +264,22 @@ class pwl:
         raise TypeError("lower bounds on convex PWL functions are not "
                         "convex")
 
+    def value(self):
+        base = self.aff.value()
+        if base is None:
+            return None
+        out = np.asarray(base).reshape(-1)
+        for blk in self.blocks:
+            vals = []
+            for p in blk:
+                pv = p.value()
+                if pv is None:
+                    return None
+                vals.append(np.asarray(pv).reshape(-1))
+            out = out + np.max(np.stack(
+                [np.broadcast_to(v, out.shape) for v in vals]), axis=0)
+        return matrix(out.reshape(-1, 1))
+
     def __repr__(self):
         return f"<pwl function of length {len(self)}>"
 
@@ -296,6 +314,24 @@ class pwl_scalar:
         # t-lifted at solve time; represent as a constraint on the scalar
         rhs = affine.from_any(o, 1)
         return constraint(self + (-1.0 * rhs), "<")
+
+    def value(self):
+        base = self.aff.value()
+        if base is None:
+            return None
+        out = float(np.asarray(base).reshape(-1)[0])
+        for kind, pieces, m in self.terms:
+            vals = []
+            for p in pieces:
+                pv = p.value() if hasattr(p, "value") else None
+                if pv is None:
+                    return None
+                vals.append(np.broadcast_to(
+                    np.asarray(pv).reshape(-1), (m,)))
+            mx = np.max(np.stack(vals), axis=0)
+            out += float(np.sum(mx)) if kind == "sum" else float(
+                np.max(mx))
+        return matrix(np.asarray([out]).reshape(-1, 1))
 
     def __repr__(self):
         return "<scalar pwl function>"
@@ -341,8 +377,12 @@ def max(*args):
             return pwl_scalar(affine({}, np.zeros(1)),
                               [("max", [a], len(a))])
         if isinstance(f, pwl):
+            if len(f.blocks) == 1:
+                return pwl_scalar(affine({}, np.zeros(1)),
+                                  [("max", f._flat_pieces(), len(f))])
+            # multi-block: keep the whole PWL as one nested piece
             return pwl_scalar(affine({}, np.zeros(1)),
-                              [("max", f._flat_pieces(), len(f))])
+                              [("max", [f], len(f))])
         return _pymax(f)
     if not any(isinstance(a, (variable, affine, pwl)) for a in args):
         return _pymax(*args)
@@ -351,7 +391,17 @@ def max(*args):
     pieces = []
     for a in args:
         if isinstance(a, pwl):
-            pieces.extend(p._broadcast(m) for p in a._flat_pieces())
+            if len(a.blocks) == 1:
+                for p in a._flat_pieces():
+                    pieces.append(p if isinstance(p, pwl)
+                                  else p._broadcast(m))
+            else:
+                # nested multi-block PWL: kept as a piece, lowered with
+                # its own epigraph variables at solve time
+                if len(a) != m:
+                    raise TypeError("nested PWL pieces must match the "
+                                    "elementwise length")
+                pieces.append(a)
         else:
             pieces.append(affine.from_any(a, m)._broadcast(m))
     return pwl(affine({}, np.zeros(m)), [pieces])
@@ -504,6 +554,21 @@ class op:
         varlist = self.variables()
         aux = []
 
+        def mk_piece_spec(p):
+            """('aff', affine) or, for a nested PWL piece,
+            ('pwl', p, u, [(tb, [subspecs])...]) with fresh epigraph
+            variables u/tb."""
+            if isinstance(p, pwl):
+                u = variable(len(p), name=f"_aux{len(aux)}")
+                aux.append(u)
+                bspecs = []
+                for blk in p.blocks:
+                    tb = variable(len(p), name=f"_aux{len(aux)}")
+                    aux.append(tb)
+                    bspecs.append((tb, [mk_piece_spec(q) for q in blk]))
+                return ("pwl", p, u, bspecs)
+            return ("aff", p)
+
         obj = self.objective
         obj_terms = []
         if isinstance(obj, pwl_scalar):
@@ -511,7 +576,8 @@ class op:
                 t = variable(m if kind == "sum" else 1,
                              name=f"_aux{len(aux)}")
                 aux.append(t)
-                obj_terms.append((kind, pieces, m, t))
+                obj_terms.append((kind, [mk_piece_spec(p) for p in
+                                         pieces], m, t))
 
         con_aux = []
         for c in self._constraints:
@@ -520,7 +586,8 @@ class op:
                 for blk in c.f.blocks:
                     t = variable(len(c.f), name=f"_aux{len(aux)}")
                     aux.append(t)
-                    blocks_aux.append((blk, t))
+                    blocks_aux.append(([mk_piece_spec(q) for q in blk],
+                                       t))
                 con_aux.append((c, blocks_aux))
             elif isinstance(c.f, pwl_scalar):
                 terms_aux = []
@@ -528,7 +595,8 @@ class op:
                     t = variable(m if kind == "sum" else 1,
                                  name=f"_aux{len(aux)}")
                     aux.append(t)
-                    terms_aux.append((kind, pieces, m, t))
+                    terms_aux.append((kind, [mk_piece_spec(p) for p in
+                                             pieces], m, t))
                 con_aux.append((c, terms_aux))
             else:
                 con_aux.append((c, None))
@@ -563,10 +631,34 @@ class op:
         Arows, brows = [], []
         ineq_rows = {}
 
-        def add_term_rows(kind, pieces, m, t):
+        def lower_piece(spec, m):
+            """Emit rows bounding a piece and return (row, cst) of an
+            affine upper-bound expression of length m."""
+            if spec[0] == "aff":
+                return emit(spec[1]._broadcast(m))
+            _, p, u, bspecs = spec
+            mp = len(p)
+            acc_row, acc_cst = emit(p.aff)
+            for tb, subspecs in bspecs:
+                for sub in subspecs:
+                    srow, scst = lower_piece(sub, mp)
+                    srow[:, var_index[tb]] -= np.eye(mp)
+                    Grows.append(srow)
+                    hrows.append(-scst)
+                acc_row[:, var_index[tb]] += np.eye(mp)
+            # p.aff + sum_b tb - u <= 0
+            r2 = acc_row.copy()
+            r2[:, var_index[u]] -= np.eye(mp)
+            Grows.append(r2)
+            hrows.append(-acc_cst)
+            urow = np.zeros((m, nvar))
+            urow[:, var_index[u]] = np.eye(m)
+            return urow, np.zeros(m)
+
+        def add_term_rows(kind, piece_specs, m, t):
             # pieces - t <= 0  (t broadcast for 'max')
-            for p in pieces:
-                row, cst = emit(p._broadcast(m))
+            for spec in piece_specs:
+                row, cst = lower_piece(spec, m)
                 if kind == "sum":
                     row[:, var_index[t]] -= np.eye(m)
                 else:
@@ -589,8 +681,8 @@ class op:
                     Arows.append(row)
                     brows.append(-cst)
             elif isinstance(c.f, pwl):
-                for blk, t in aux_info:
-                    add_term_rows("sum", blk, len(c.f), t)
+                for blk_specs, t in aux_info:
+                    add_term_rows("sum", blk_specs, len(c.f), t)
                 # aff + sum_t t <= 0
                 start = _pysum(r.shape[0] for r in Grows)
                 row, cst = emit(c.f.aff)

@@ -137,3 +137,58 @@ def test_boeing2():
     assert res.status == 0
     np.testing.assert_allclose(lp.objective.value()[0], res.fun,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_nested_multiblock_pwl():
+    """Nested PWL: max of multi-block PWL args (sum of abs terms inside a
+    max) lowers through epigraph variables."""
+    rng = np.random.default_rng(21)
+    m, n = 30, 6
+    A1 = normal(m, n); b1 = normal(m)
+    A2 = normal(m, n); b2 = normal(m)
+    x = variable(n)
+    # f = abs(A1 x - b1) + abs(A2 x - b2): a 2-block PWL vector
+    f = abs(A1 * x - b1) + abs(A2 * x - b2)
+    prob = op(max(f))     # max over entries of a multi-block PWL
+    prob.solve()
+    assert prob.status == "optimal"
+    xv = np.asarray(x.value).reshape(-1)
+    val = np.max(np.abs(np.asarray(A1) @ xv - np.asarray(b1).reshape(-1))
+                 + np.abs(np.asarray(A2) @ xv -
+                          np.asarray(b2).reshape(-1)))
+    np.testing.assert_allclose(prob.objective.value()[0], val, atol=1e-6)
+    # oracle via scipy on the epigraph LP
+    from scipy.optimize import linprog
+    A1n, A2n = np.asarray(A1), np.asarray(A2)
+    b1n, b2n = np.asarray(b1).reshape(-1), np.asarray(b2).reshape(-1)
+    # min t st u + v <= t, -u <= A1x-b1 <= u, -v <= A2x-b2 <= v
+    nv = n + 2 * m + 1
+    cobj = np.zeros(nv); cobj[-1] = 1.0
+    rows, rhs = [], []
+    for sgn in (1, -1):
+        R = np.zeros((m, nv)); R[:, :n] = sgn * A1n
+        R[:, n:n + m] = -np.eye(m)
+        rows.append(R); rhs.append(sgn * b1n)
+        R = np.zeros((m, nv)); R[:, :n] = sgn * A2n
+        R[:, n + m:n + 2 * m] = -np.eye(m)
+        rows.append(R); rhs.append(sgn * b2n)
+    R = np.zeros((m, nv))
+    R[:, n:n + m] = np.eye(m); R[:, n + m:n + 2 * m] = np.eye(m)
+    R[:, -1] = -1.0
+    rows.append(R); rhs.append(np.zeros(m))
+    ref = linprog(cobj, A_ub=np.vstack(rows), b_ub=np.concatenate(rhs),
+                  bounds=(None, None), method="highs")
+    assert ref.status == 0
+    np.testing.assert_allclose(prob.objective.value()[0], ref.fun,
+                               atol=1e-5)
+
+
+def test_nested_pwl_in_constraint():
+    x = variable(2)
+    # abs(x0) + abs(x1) <= 1 via a multi-block PWL constraint
+    c = (abs(x[0]) + abs(x[1]) <= 1)
+    prob = op(-x[0] - 0.5 * x[1], [c])
+    prob.solve()
+    assert prob.status == "optimal"
+    np.testing.assert_allclose(np.asarray(x.value).reshape(-1),
+                               [1.0, 0.0], atol=1e-5)
