@@ -411,18 +411,8 @@ def fromfile(f, size, tc="d"):
     return matrix(arr.reshape(size, order="F"))
 
 
-# pickling entry: matrix(bytes, size, tc)
-_matrix_build = matrix._build
-
-
-def _matrix_from_bytes(data, size, tc):
-    arr = np.frombuffer(data, dtype=_TC2DTYPE[tc]).copy()
-    return matrix(arr.reshape(size, order="F"))
-
-
-_orig_matrix_new = matrix.__new__
-
-
+# pickling entry: matrix(bytes, size, tc) reconstructs from the raw
+# buffer (matrix.__reduce__ emits this form)
 def _matrix_init_dispatch(self, value=0.0, size=None, tc=None):
     if isinstance(value, (bytes, bytearray)):
         arr = np.frombuffer(value, dtype=_TC2DTYPE[tc or "d"]).copy()
