@@ -1,14 +1,17 @@
 """Fill-reducing ordering (reference src/C/amd.c: order(A, uplo='L') and
 the amd.options dict).
 
-Backed by the native minimum-degree implementation in
-kvxopt_tpu/native/host.cpp (mindeg_order) operating on the pattern of
-A + A'."""
+Backed by the native approximate-minimum-degree implementation in
+kvxopt_tpu/native/host.cpp (amd_order: quotient graph, approximate
+external degrees, element absorption, supervariable merging — the AMD
+algorithm the reference links from SuiteSparse) operating on the
+pattern of A + A'.  Set options['method'] = 'mindeg' for the exact
+minimum-degree variant."""
 
 import numpy as np
 
 from .base import matrix
-from .sparse import canon_csc
+from ._sparse import canon_csc
 from .native import lib
 
 options = {}
@@ -28,8 +31,10 @@ def order_array(A, uplo="L"):
     full = (csc + csc.T).tocsc()
     full.sort_indices()
     perm = np.zeros(n, dtype=np.int64)
-    lib.mindeg_order(n, full.indptr.astype(np.int64),
-                     full.indices.astype(np.int64), perm)
+    fn = (lib.mindeg_order if options.get("method") == "mindeg"
+          else lib.amd_order)
+    fn(n, full.indptr.astype(np.int64), full.indices.astype(np.int64),
+       perm)
     return perm
 
 

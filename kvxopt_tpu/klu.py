@@ -11,15 +11,16 @@ fixed sparsity (power-flow Jacobians etc.).
 Like the reference, the pipeline is the full KLU one: maximum
 transversal + strongly-connected components put A into block upper
 triangular form (BTF), each diagonal block factors independently, and
-off-diagonal entries land in F.  No row scaling (R = I).  The factor
-identity (klu.c:382) holds exactly: R*P*A*Q = L*U + F with r the block
-boundaries."""
+off-diagonal entries land in F.  Rows are scaled by their max-abs value
+(KLU's default scale mode) before factoring.  The factor identity
+(klu.c:382) holds exactly: R*P*A*Q = L*U + F with R = diag(1/s[p]) and
+r the block boundaries."""
 
 import numpy as np
 
 from .base import matrix, spmatrix
-from .sparse import perm_spmatrix
-from .sparse.btf import BTFSymbolic, BTFNumeric
+from ._sparse import perm_spmatrix
+from ._sparse.btf import BTFSymbolic, BTFNumeric
 
 options = {}
 
@@ -59,13 +60,14 @@ def linsolve(A, B, trans="N"):
 
 def get_numeric(A, Fs, Fn):
     """Export factors (L, U, P, Q, R, F, r) with R*P*A*Q = L*U + F
-    (klu.c:382).  R = I (no row scaling); r holds the BTF block
-    boundaries."""
+    (klu.c:382).  R = diag(1/s[p]) is the row scaling over permuted rows
+    (R applied after P, as in the reference's identity); r holds the BTF
+    block boundaries."""
     L, U, p, q, F, r = Fn.get_factors()
     n = Fn.n
     P = perm_spmatrix(p)
     Q = perm_spmatrix(q).T
-    R = spmatrix(np.ones(n), np.arange(n), np.arange(n), size=(n, n))
+    R = spmatrix(1.0 / Fn.s[p], np.arange(n), np.arange(n), size=(n, n))
     Fsp = spmatrix._from_csc(F)
     return (spmatrix._from_csc(L), spmatrix._from_csc(U), P, Q, R, Fsp,
             matrix(np.asarray(r, dtype=np.int64).reshape(-1, 1)))

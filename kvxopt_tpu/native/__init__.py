@@ -33,6 +33,7 @@ c_c128_p = np.ctypeslib.ndpointer(np.complex128, flags="C_CONTIGUOUS")
 c_void = ctypes.c_void_p
 
 lib.mindeg_order.argtypes = [c_i64, c_i64_p, c_i64_p, c_i64_p]
+lib.amd_order.argtypes = [c_i64, c_i64_p, c_i64_p, c_i64_p]
 
 lib.ldl_factor.restype = c_void
 lib.ldl_factor.argtypes = [c_i64, c_i64_p, c_i64_p, c_f64_p,
@@ -68,6 +69,8 @@ for sfx, vp in (("d", c_f64_p), ("z", c_c128_p)):
     f.argtypes = [c_void, c_i64, c_i64_p, c_i64_p, vp]
     getattr(lib, f"lu_solve_{sfx}").argtypes = [c_void, vp, c_i64, c_i64]
     getattr(lib, f"lu_det_{sfx}").argtypes = [c_void, vp]
+    getattr(lib, f"lu_logdet_{sfx}").argtypes = [
+        c_void, ctypes.POINTER(ctypes.c_double), vp]
     getattr(lib, f"lu_sizes_{sfx}").argtypes = [
         c_void, ctypes.POINTER(c_i64), ctypes.POINTER(c_i64)]
     getattr(lib, f"lu_get_{sfx}").argtypes = [

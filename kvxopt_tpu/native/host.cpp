@@ -19,6 +19,8 @@
 #include <complex>
 #include <cstdint>
 #include <cstring>
+#include <limits>
+#include <unordered_map>
 #include <vector>
 
 using i64 = long long;
@@ -29,7 +31,237 @@ static inline double mag(const cplx& v) { return std::abs(v); }
 static inline double conj_of(double v) { return v; }
 static inline cplx conj_of(const cplx& v) { return std::conj(v); }
 
+// ---------------------------------------------------------------------------
+// Approximate minimum degree (AMD) ordering: quotient graph with element
+// absorption, Amestoy/Davis/Duff approximate external degrees, aggressive
+// element absorption, and supervariable (twin) merging.  Written from
+// scratch against the published algorithm; the reference links SuiteSparse
+// AMD (src/C/amd.c).  A must be structurally symmetric (pattern of A+A').
+// ---------------------------------------------------------------------------
+static void amd_order_impl(i64 n, const i64* colptr, const i64* rowind,
+                           i64* perm) {
+  // quotient graph: per-variable lists A (variables) and E (elements);
+  // per-element list L (variables).  Eliminated pivots become elements
+  // reusing their own index.
+  std::vector<std::vector<i64>> A(n), E(n), L(n);
+  std::vector<i64> nv(n, 1);       // supervariable mass; 0 = absorbed
+  std::vector<i64> degree(n);      // approximate external degree
+  std::vector<i64> elsize(n, 0);   // |L_e| in nv units for live elements
+  std::vector<char> eliminated(n, 0), dead_elem(n, 0);
+  std::vector<i64> parent(n, -1);  // supervariable absorption parent
+  std::vector<i64> mark(n, -1), wtag(n, -1), wcnt(n, 0);
+
+  for (i64 j = 0; j < n; ++j) {
+    for (i64 p = colptr[j]; p < colptr[j + 1]; ++p) {
+      i64 i = rowind[p];
+      if (i != j) A[j].push_back(i);
+    }
+    std::sort(A[j].begin(), A[j].end());
+    A[j].erase(std::unique(A[j].begin(), A[j].end()), A[j].end());
+    degree[j] = (i64)A[j].size();
+  }
+
+  // degree buckets with lazy deletion
+  std::vector<std::vector<i64>> bucket(n + 1);
+  for (i64 j = 0; j < n; ++j) bucket[degree[j]].push_back(j);
+  i64 cur = 0;
+  auto push_bucket = [&](i64 v) {
+    i64 d = degree[v];
+    if (d < 0) d = 0;
+    if (d > n) d = n;
+    bucket[d].push_back(v);
+    if (d < cur) cur = d;
+  };
+
+  std::vector<i64> elim_order;
+  elim_order.reserve(n);
+  std::vector<i64> Lme;
+  i64 tag = 0;
+  i64 k = 0;
+  while (k < n) {
+    // --- pivot: live principal variable of minimum approximate degree
+    i64 me = -1;
+    while (me < 0) {
+      while (cur <= n && bucket[cur].empty()) cur++;
+      i64 cand = bucket[cur].back();
+      bucket[cur].pop_back();
+      if (eliminated[cand] || nv[cand] <= 0) continue;
+      i64 d = degree[cand];
+      if (d < 0) d = 0;
+      if (d > n) d = n;
+      if (d == cur) me = cand;  // else: stale entry, re-pushed elsewhere
+    }
+
+    // --- form Lme = (A_me ∪ U_{e in E_me} L_e) minus dead minus {me}
+    ++tag;
+    Lme.clear();
+    mark[me] = tag;
+    i64 degme = 0;
+    for (i64 i : A[me]) {
+      if (nv[i] <= 0 || eliminated[i]) continue;
+      if (mark[i] != tag) {
+        mark[i] = tag;
+        Lme.push_back(i);
+        degme += nv[i];
+      }
+    }
+    for (i64 e : E[me]) {
+      if (dead_elem[e]) continue;
+      for (i64 i : L[e]) {
+        if (nv[i] <= 0 || eliminated[i]) continue;
+        if (mark[i] != tag) {
+          mark[i] = tag;
+          Lme.push_back(i);
+          degme += nv[i];
+        }
+      }
+      dead_elem[e] = 1;  // absorbed into the new element me
+      L[e].clear();
+      L[e].shrink_to_fit();
+    }
+    A[me].clear();
+    A[me].shrink_to_fit();
+    E[me].clear();
+    E[me].shrink_to_fit();
+    eliminated[me] = 1;
+    elim_order.push_back(me);
+    k += nv[me];
+    L[me] = Lme;
+    elsize[me] = degme;
+
+    // --- |L_e \ Lme| for every element adjacent to Lme (the AMD w trick)
+    for (i64 i : Lme) {
+      for (i64 e : E[i]) {
+        if (dead_elem[e]) continue;
+        if (wtag[e] != tag) {
+          wtag[e] = tag;
+          wcnt[e] = elsize[e];
+        }
+        wcnt[e] -= nv[i];
+      }
+    }
+
+    // --- degree update + list pruning + aggressive absorption
+    for (i64 i : Lme) {
+      i64 d_elems = 0;
+      size_t out = 0;
+      for (i64 e : E[i]) {
+        if (dead_elem[e]) continue;
+        i64 ext = (wtag[e] == tag) ? wcnt[e] : elsize[e];
+        if (ext <= 0) {
+          // aggressive absorption: L_e subset of Lme ∪ {me}
+          dead_elem[e] = 1;
+          L[e].clear();
+          L[e].shrink_to_fit();
+          continue;
+        }
+        d_elems += ext;
+        E[i][out++] = e;
+      }
+      E[i].resize(out);
+      i64 d_vars = 0;
+      out = 0;
+      for (i64 v : A[i]) {
+        if (nv[v] <= 0 || eliminated[v]) continue;
+        if (mark[v] == tag) continue;  // covered by the new element me
+        d_vars += nv[v];
+        A[i][out++] = v;
+      }
+      A[i].resize(out);
+      E[i].push_back(me);
+      i64 dext = degme - nv[i];            // |Lme \ i|
+      i64 cap = n - k - nv[i];             // all other live variables
+      i64 dnew = std::min(std::min(degree[i] + dext, cap),
+                          d_vars + dext + d_elems);
+      degree[i] = dnew < 0 ? 0 : dnew;
+    }
+
+    // --- supervariable (twin) detection among Lme members
+    std::unordered_map<unsigned long long, std::vector<i64>> hb;
+    hb.reserve(Lme.size() * 2);
+    for (i64 i : Lme) {
+      if (nv[i] <= 0) continue;
+      unsigned long long h =
+          1469598103934665603ull ^ (unsigned long long)A[i].size();
+      for (i64 v : A[i]) h += (unsigned long long)v * 2654435761ull;
+      for (i64 e : E[i]) h += (unsigned long long)e * 40503ull;
+      hb[h].push_back(i);
+    }
+    for (auto& kv : hb) {
+      auto& cands = kv.second;
+      if (cands.size() < 2) continue;
+      for (size_t a = 0; a < cands.size(); ++a) {
+        i64 i = cands[a];
+        if (nv[i] <= 0) continue;
+        for (size_t b = a + 1; b < cands.size(); ++b) {
+          i64 j = cands[b];
+          if (nv[j] <= 0) continue;
+          if (E[i].size() != E[j].size() || A[i].size() != A[j].size())
+            continue;
+          // twins iff E_i == E_j and A_i \ {j} == A_j \ {i} (live sets)
+          ++tag;
+          bool twin = true;
+          for (i64 e : E[i]) mark[e] = tag;
+          for (i64 e : E[j])
+            if (mark[e] != tag) { twin = false; break; }
+          if (twin) {
+            ++tag;
+            i64 live_i = 0;
+            for (i64 v : A[i])
+              if (v != j && nv[v] > 0 && !eliminated[v]) {
+                mark[v] = tag;
+                live_i++;
+              }
+            i64 live_j = 0;
+            for (i64 v : A[j]) {
+              if (v == i || nv[v] <= 0 || eliminated[v]) continue;
+              if (mark[v] != tag) { twin = false; break; }
+              live_j++;
+            }
+            if (twin && live_i != live_j) twin = false;
+          }
+          if (twin) {
+            degree[i] -= nv[j];
+            if (degree[i] < 0) degree[i] = 0;
+            nv[i] += nv[j];
+            nv[j] = 0;
+            parent[j] = i;
+            E[j].clear();
+            E[j].shrink_to_fit();
+            A[j].clear();
+            A[j].shrink_to_fit();
+          }
+        }
+      }
+    }
+
+    for (i64 i : Lme)
+      if (nv[i] > 0) push_bucket(i);
+  }
+
+  // --- output: pivots in elimination order, each followed by the
+  // variables absorbed into it (absorption forest DFS)
+  std::vector<std::vector<i64>> kids(n);
+  for (i64 j = 0; j < n; ++j)
+    if (parent[j] >= 0) kids[parent[j]].push_back(j);
+  i64 pos = 0;
+  std::vector<i64> stack;
+  for (i64 root : elim_order) {
+    stack.push_back(root);
+    while (!stack.empty()) {
+      i64 v = stack.back();
+      stack.pop_back();
+      perm[pos++] = v;
+      for (i64 c : kids[v]) stack.push_back(c);
+    }
+  }
+}
+
 extern "C" {
+
+void amd_order(i64 n, const i64* colptr, const i64* rowind, i64* perm) {
+  amd_order_impl(n, colptr, rowind, perm);
+}
 
 // ---------------------------------------------------------------------------
 // Minimum-degree ordering (external-degree variant on the elimination
@@ -780,6 +1012,46 @@ static void lu_det_impl(void* handle, T* det) {
   *det = d * T(s);
 }
 
+// log-magnitude + phase determinant: survives products whose running
+// value under/overflows double even when the final det is representable
+// (the reference reports such dets via interleaved Udiag*Rs products,
+// klu.c:771; log space is strictly more robust)
+template <typename T>
+static void lu_logdet_impl(void* handle, double* logmag, T* phase) {
+  LUFactor<T>* F = static_cast<LUFactor<T>*>(handle);
+  i64 n = F->n;
+  double lm = 0.0;
+  T ph = T(1);
+  for (i64 k = 0; k < n; ++k) {
+    T u = F->Ux[F->Up[k + 1] - 1];
+    double a = std::abs(u);
+    if (a == 0.0) {
+      *logmag = -std::numeric_limits<double>::infinity();
+      *phase = T(0);
+      return;
+    }
+    lm += std::log(a);
+    ph *= u / a;
+  }
+  auto perm_sign = [n](const std::vector<i64>& perm) {
+    std::vector<char> seen(n, 0);
+    int sign = 1;
+    for (i64 i = 0; i < n; ++i) {
+      if (seen[i]) continue;
+      i64 len = 0, j = i;
+      while (!seen[j]) {
+        seen[j] = 1;
+        j = perm[j];
+        len++;
+      }
+      if (len % 2 == 0) sign = -sign;
+    }
+    return sign;
+  };
+  *logmag = lm;
+  *phase = ph * T(perm_sign(F->pinv) * perm_sign(F->q));
+}
+
 template <typename T>
 static void lu_sizes_impl(void* handle, i64* lnnz, i64* unnz) {
   LUFactor<T>* F = static_cast<LUFactor<T>*>(handle);
@@ -836,6 +1108,9 @@ void lu_solve_d(void* h, double* b, i64 nrhs, i64 trans) {
   lu_solve_impl<double>(h, b, nrhs, trans);
 }
 void lu_det_d(void* h, double* det) { lu_det_impl<double>(h, det); }
+void lu_logdet_d(void* h, double* lm, double* ph) {
+  lu_logdet_impl<double>(h, lm, ph);
+}
 void lu_sizes_d(void* h, i64* l, i64* u) { lu_sizes_impl<double>(h, l, u); }
 void lu_get_d(void* h, i64* Lp, i64* Li, double* Lx, i64* Up, i64* Ui,
               double* Ux, i64* p, i64* q) {
@@ -857,6 +1132,9 @@ void lu_solve_z(void* h, cplx* b, i64 nrhs, i64 trans) {
   lu_solve_impl<cplx>(h, b, nrhs, trans);
 }
 void lu_det_z(void* h, cplx* det) { lu_det_impl<cplx>(h, det); }
+void lu_logdet_z(void* h, double* lm, cplx* ph) {
+  lu_logdet_impl<cplx>(h, lm, ph);
+}
 void lu_sizes_z(void* h, i64* l, i64* u) { lu_sizes_impl<cplx>(h, l, u); }
 void lu_get_z(void* h, i64* Lp, i64* Li, cplx* Lx, i64* Up, i64* Ui,
               cplx* Ux, i64* p, i64* q) {

@@ -39,40 +39,75 @@ BS = 128
 
 
 def _factor_inplace(buf, slot, nb):
-    """Blocked Cholesky of buf[slot] (npad x npad) in place."""
+    """Blocked Cholesky of buf[slot] (npad x npad) in place.
+
+    Per 128-column panel: (1) unblocked Cholesky of the 128x128 diagonal
+    block D (masked rank-1 loop on a VMEM-resident tile — cheap VPU
+    work), (2) L11^{-1} by forward substitution on the same tile, (3)
+    the sub-diagonal panel A21 <- A21 @ L11^{-T} as ONE (n,128)@(128,128)
+    MXU matmul, (4) MXU trailing updates.  Compared to full-height
+    rank-1 panel updates this moves ~6x VPU work onto the MXU."""
     n = nb * BS
-    rows_n1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    cols_nB = jax.lax.broadcasted_iota(jnp.int32, (n, BS), 1)
+    rows_B1 = jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0)
+    rows_BB = jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
+    cols_BB = jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 1)
     cols_1B = jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
 
     for kb in range(nb):
         base = kb * BS
-        panel = buf[slot, :, base:base + BS]
 
-        def body(j, P):
-            kj = jnp.int32(base) + j
-            colv = jnp.sum(jnp.where(cols_nB == j, P, zero), axis=1,
-                           keepdims=True)                        # (n,1)
-            pivot = jnp.sum(jnp.where(rows_n1 == kj, colv, zero),
-                            keepdims=True)                       # (1,1)
-            col = jnp.where(rows_n1 >= kj, colv * jax.lax.rsqrt(pivot),
-                            zero)                                 # (n,1)
-            wrow = col[base:base + BS, :].reshape(1, BS)
-            wrow = jnp.where(cols_1B > j, wrow, zero)             # (1,BS)
-            return jnp.where(cols_nB == j, col, P - col * wrow)
+        # (1) unblocked Cholesky of the diagonal block (junk above the
+        # diagonal is never read; the wrapper tril-masks the output)
+        def dstep(j, D):
+            colv = jnp.sum(jnp.where(cols_BB == j, D, zero), axis=1,
+                           keepdims=True)                      # (BS,1)
+            pivot = jnp.sum(jnp.where(rows_B1 == j, colv, zero),
+                            keepdims=True)                     # (1,1)
+            col = jnp.where(rows_B1 >= j, colv * jax.lax.rsqrt(pivot),
+                            zero)                              # (BS,1)
+            wrow = jnp.where(cols_1B > j, col.reshape(1, BS), zero)
+            return jnp.where(cols_BB == j, col, D - col * wrow)
 
-        panel = jax.lax.fori_loop(jnp.int32(0), jnp.int32(BS), body,
-                                  panel)
-        buf[slot, :, base:base + BS] = panel
-        # trailing update, one fixed-shape (n,BS)@(BS,BS) matmul per
+        D = jax.lax.fori_loop(jnp.int32(0), jnp.int32(BS), dstep,
+                              buf[slot, base:base + BS, base:base + BS])
+
+        # (2) X = L11^{-1} by forward substitution (row i of X at step i)
+        def istep(i, X):
+            lrow = jnp.sum(jnp.where(rows_BB == i, D, zero), axis=0,
+                           keepdims=True)                      # (1,BS)
+            lii = jnp.sum(jnp.where(cols_1B == i, lrow, zero),
+                          keepdims=True)                       # (1,1)
+            lrow_l = jnp.where(cols_1B < i, lrow, zero)
+            acc = jnp.sum(lrow_l.reshape(BS, 1) * X, axis=0,
+                          keepdims=True)                       # (1,BS)
+            ei = jnp.where(cols_1B == i, one, zero)
+            xrow = (ei - acc) / lii
+            return jnp.where(rows_BB == i, xrow, X)
+
+        X = jax.lax.fori_loop(jnp.int32(0), jnp.int32(BS), istep,
+                              jnp.zeros((BS, BS), jnp.float32))
+
+        # (3) whole panel @ L11^{-T} on the MXU; rows above the diagonal
+        # block land in the junk upper triangle (masked by the wrapper)
+        panel = buf[slot, :, base:base + BS]                   # (n,BS)
+        Y = jax.lax.dot_general(
+            panel, X, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (n,BS)
+        buf[slot, base:base + BS, base:base + BS] = D
+        if base + BS < n:
+            buf[slot, base + BS:, base:base + BS] = Y[base + BS:, :]
+        Lpanel = buf[slot, :, base:base + BS]
+
+        # (4) trailing update, one fixed-shape (n,BS)@(BS,BS) matmul per
         # remaining column block (variable-extent slices do not legalize
         # in Mosaic, so blocks are the granularity)
         for jb in range(kb + 1, nb):
             cb = jb * BS
-            Pj = panel[cb:cb + BS, :]                    # (BS, BS)
+            Pj = Lpanel[cb:cb + BS, :]                   # (BS, BS)
             upd = jax.lax.dot_general(
-                panel, Pj, dimension_numbers=(((1,), (1,)), ((), ())),
+                Lpanel, Pj, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (n, BS)
             buf[slot, :, cb:cb + BS] = buf[slot, :, cb:cb + BS] - upd
 
@@ -119,8 +154,8 @@ def batched_cholesky(A, interpret=False):
     kernel = functools.partial(_chol_stream_kernel, nb, B)
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, npad, npad), A.dtype),
         scratch_shapes=[pltpu.VMEM((2, npad, npad), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],

@@ -5,13 +5,15 @@ Same API contract as the reference's UMFPACK wrapper — opaque
 symbolic/numeric factor objects, in-place multi-RHS solves with trans
 'N'/'T'/'C', factor export satisfying P*R*A*Q = L*U, determinants
 (get_det, the fork's addition, umfpack.c:671) — implemented on the native
-left-looking LU in kvxopt_tpu/native/host.cpp (no row scaling: R = I)."""
+left-looking LU in kvxopt_tpu/native/host.cpp.  Rows are scaled by the
+sum of their absolute values before factoring (UMFPACK's default
+row scaling); R = diag(1/s) is exported from get_numeric."""
 
 import numpy as np
 
 from .base import matrix, spmatrix
-from .sparse import perm_spmatrix
-from .sparse.lu import SymbolicLU, NumericLU
+from ._sparse import perm_spmatrix
+from ._sparse.lu import SymbolicLU, NumericLU
 
 
 def symbolic(A):
@@ -22,7 +24,7 @@ def symbolic(A):
 def numeric(A, Fs):
     """Numeric factorization using a prior symbolic object
     (umfpack.c:292).  Raises ArithmeticError on singular matrices."""
-    return NumericLU(A, Fs)
+    return NumericLU(A, Fs, row_scale="sum")
 
 
 def _solve_into(B, Fn, trans):
@@ -50,8 +52,9 @@ def linsolve(A, B, trans="N"):
 
 def get_numeric(A, Fn):
     """Export factors (L, U, P, Q, R) with P*R*A*Q = L*U
-    (umfpack.c:369).  This implementation performs no row scaling, so R is
-    the identity."""
+    (umfpack.c:369).  R = diag(1/s) with s the per-row sum-abs scale
+    factors, indexed by original row (R applied before P, as in the
+    reference's identity)."""
     L, U, p, q = Fn.get_factors()
     n = Fn.n
     Lsp = spmatrix._from_csc(L)
@@ -60,7 +63,8 @@ def get_numeric(A, Fn):
     # P = perm matrix with (P x)[k] = x[p[k]]
     P = perm_spmatrix(p)
     Q = perm_spmatrix(q).T
-    R = spmatrix(np.ones(n), np.arange(n), np.arange(n), size=(n, n))
+    rdiag = np.ones(n) if Fn.s is None else 1.0 / Fn.s
+    R = spmatrix(rdiag, np.arange(n), np.arange(n), size=(n, n))
     return Lsp, Usp, P, Q, R
 
 

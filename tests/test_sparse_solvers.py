@@ -359,3 +359,115 @@ def test_klu_btf_block_structure():
     # determinant across blocks and permutations
     np.testing.assert_allclose(klu.get_det(A, Fs, Fn),
                                np.linalg.det(A0), rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Row scaling (R != I): badly scaled matrices factor and solve accurately,
+# and the exported R carries the actual scale factors.
+
+def _badly_scaled(n, seed, complex_=False):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=0.15, random_state=np.random.RandomState(
+        seed), format="csc") + 3.0 * sp.eye(n)
+    D = sp.diags(10.0 ** rng.uniform(-8, 8, n))
+    M = (D @ A).tocsc()
+    if complex_:
+        M = M + 1j * M
+    return spmatrix._from_csc(M.tocsc())
+
+
+@pytest.mark.parametrize("complex_", [False, True])
+def test_umfpack_row_scaling(complex_):
+    A = _badly_scaled(40, 7, complex_)
+    Fs = umfpack.symbolic(A)
+    Fn = umfpack.numeric(A, Fs)
+    L, U, P, Q, R = umfpack.get_numeric(A, Fn)
+    rdiag = np.asarray(matrix(R))[np.arange(40), np.arange(40)]
+    assert not np.allclose(rdiag, 1.0)       # scaling really happened
+    assert norm(P * R * A * Q - L * U, "1") < 1e-8
+    # N-solve recovers x despite the 1e16 row-scale spread (row scaling
+    # makes the scaled system well conditioned); T/C solves are checked
+    # by residual (forward error there is limited by cond(A) itself)
+    Ad = np.asarray(A)
+    for trans in ("N", "T", "C"):
+        x_true = np.arange(1.0, 41.0).reshape(-1, 1)
+        if complex_:
+            x_true = x_true + 0.5j * x_true
+        Aop = {"N": Ad, "T": Ad.T, "C": Ad.conj().T}[trans]
+        b = Aop @ x_true
+        B = matrix(b)
+        umfpack.solve(A, Fn, B, trans=trans)
+        x = np.asarray(B)
+        if trans == "N":
+            np.testing.assert_allclose(x, x_true, rtol=1e-6)
+        resid = np.abs(Aop @ x - b).max() / np.abs(b).max()
+        assert resid < 1e-12
+    # determinant folds the scaling back in
+    det = umfpack.get_det(A, Fs, Fn)
+    np.testing.assert_allclose(det, np.linalg.det(Ad), rtol=1e-6)
+
+
+@pytest.mark.parametrize("complex_", [False, True])
+def test_klu_row_scaling(complex_):
+    A = _badly_scaled(40, 8, complex_)
+    Fs = klu.symbolic(A)
+    Fn = klu.numeric(A, Fs)
+    L, U, P, Q, R, F, r = klu.get_numeric(A, Fs, Fn)
+    rdiag = np.asarray(matrix(R))[np.arange(40), np.arange(40)]
+    assert not np.allclose(rdiag, 1.0)
+    assert norm(R * P * A * Q - (L * U + F), "1") < 1e-8
+    Ad = np.asarray(A)
+    for trans in ("N", "T", "C"):
+        x_true = np.arange(1.0, 41.0).reshape(-1, 1)
+        if complex_:
+            x_true = x_true - 0.25j * x_true
+        Aop = {"N": Ad, "T": Ad.T, "C": Ad.conj().T}[trans]
+        b = Aop @ x_true
+        B = matrix(b)
+        klu.solve(A, Fs, Fn, B, trans=trans)
+        x = np.asarray(B)
+        if trans == "N":
+            np.testing.assert_allclose(x, x_true, rtol=1e-6)
+        resid = np.abs(Aop @ x - b).max() / np.abs(b).max()
+        assert resid < 1e-12
+    np.testing.assert_allclose(klu.get_det(A, Fs, Fn),
+                               np.linalg.det(Ad), rtol=1e-6)
+    # refactorization keeps the (new) scaling
+    A2 = _badly_scaled(40, 9, complex_)
+    Fn2 = klu.numeric(A2, Fs, Fn)
+    B = matrix(np.asarray(A2) @ x_true)
+    klu.solve(A2, Fs, Fn2, B)
+    np.testing.assert_allclose(np.asarray(B), x_true, rtol=1e-5)
+
+
+def test_amd_quality_and_speed_bcsstk13():
+    """AMD (quotient graph) orders bcsstk13 fast and with fill no worse
+    than exact minimum degree (within 15%), validating the approximate
+    degree machinery on a real structural matrix."""
+    import time
+    A = load_mtx("bcsstk13.mtx")
+    n = A.size[0]
+    t0 = time.time()
+    p = amd.order_array(A)
+    t_amd = time.time() - t0
+    assert sorted(p.tolist()) == list(range(n))
+    assert t_amd < 2.0            # exact mindeg takes ~3.5 s here
+    # fill proxy: symbolic Cholesky column counts on the permuted pattern
+    S = A.to_scipy()
+    S = (abs(S) + abs(S.T)).tocsc()[p][:, p]
+    import scipy.sparse.linalg as spl
+    import scipy.sparse as ssp
+    M = (S + ssp.eye(n) * (abs(S).sum() + 1)).tocsc()
+    lu = spl.splu(M, permc_spec="NATURAL", diag_pivot_thresh=0.0,
+                  options=dict(SymmetricMode=True))
+    assert lu.L.nnz + lu.U.nnz < 700_000   # mindeg: ~583k, amd: ~536k
+
+
+def test_amd_mindeg_option():
+    amd.options["method"] = "mindeg"
+    try:
+        S = _spd(30, 4)
+        p = np.asarray(amd.order(S)).reshape(-1)
+        assert sorted(p.tolist()) == list(range(30))
+    finally:
+        amd.options.pop("method", None)
