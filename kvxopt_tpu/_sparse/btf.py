@@ -5,8 +5,8 @@ factors independently with the native left-looking LU, off-diagonal
 entries go to F, and solves proceed by block back-substitution.
 
 Identity (klu.c:382 get_numeric):  R * P * A * Q = L * U + F
-with R = I (no scaling in this build), L/U block-diagonal, r the block
-boundaries.
+with R = diag(1/s[p]) the row scaling (s = per-row max-abs of A, KLU's
+default scale mode), L/U block-diagonal, r the block boundaries.
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ import scipy.sparse as sp
 from scipy.sparse import csgraph
 
 from . import canon_csc
-from .lu import SymbolicLU, NumericLU
+from .lu import SymbolicLU, NumericLU, row_scales
 
 
 def btf_analyze(A):
@@ -101,7 +101,11 @@ class BTFNumeric:
         m, n, cp, ri, vx = canon_csc(A)
         if n != Fs.n:
             raise TypeError("A does not match the symbolic object")
-        csc = sp.csc_matrix((vx, ri, cp), shape=(n, n))
+        # KLU-style row scaling: divide row i of A by s[i] = max_j |a_ij|
+        # before the block factorizations (klu defaults, Common->scale=2)
+        self.s = row_scales(n, ri, vx, "max")
+        self._orig = sp.csc_matrix((vx, ri, cp), shape=(n, n))
+        csc = sp.csc_matrix((vx / self.s[ri], ri, cp), shape=(n, n))
         M = csc[Fs.prow, :][:, Fs.qcol].tocsc()
         self.n = n
         self.r = Fs.r
@@ -118,17 +122,46 @@ class BTFNumeric:
                 prior = refactor_from.blocks[k]
             self.blocks.append(NumericLU(blk, Fs.block_syms[k],
                                          refactor_from=prior))
-        # strict upper off-diagonal blocks
-        Fmat = M.tolil()
-        for k in range(K):
-            lo, hi = Fs.r[k], Fs.r[k + 1]
-            Fmat[lo:hi, lo:hi] = 0
-        self.F = Fmat.tocsc()
-        self.F.eliminate_zeros()
+        # strict upper off-diagonal blocks: keep entries whose row and
+        # column fall in different BTF blocks (vectorized COO mask; the
+        # per-block LIL zeroing this replaces was O(n^2) per block)
+        coo = M.tocoo()
+        rvec = np.asarray(Fs.r)
+        blk_of_row = np.searchsorted(rvec, coo.row, side="right") - 1
+        blk_of_col = np.searchsorted(rvec, coo.col, side="right") - 1
+        keep = blk_of_row != blk_of_col
+        self.F = sp.csc_matrix(
+            (coo.data[keep], (coo.row[keep], coo.col[keep])),
+            shape=(n, n))
+        if refactor_from is not None:
+            # refactorization updates the donor in place (the reference's
+            # klu_refactor contract): the prior numeric object remains
+            # usable and views the NEW values, exactly like a reused
+            # KLU numeric capsule
+            refactor_from.blocks = self.blocks
+            refactor_from.F = self.F
+            refactor_from.s = self.s
+            refactor_from._orig = self._orig
+            refactor_from.is_complex = self.is_complex
 
     def solve_inplace(self, barr, trans="N"):
-        """Solve A X = B (or trans) given A = P' M Q' with M = blkdiag +
-        F upper block triangular."""
+        """Solve A X = B (or trans) with two steps of iterative
+        refinement against the original matrix (the scaled factors'
+        backward error is relative to R*A, not A)."""
+        b = np.array(barr, dtype=np.complex128 if self.is_complex
+                     else np.float64)
+        if b.ndim == 1:
+            b = b.reshape(-1, 1)
+        Aop = {"N": self._orig, "T": self._orig.T,
+               "C": self._orig.conj().T}[trans]
+        x = self._solve_once(b, trans)
+        for _ in range(2):
+            x += self._solve_once(b - Aop @ x, trans)
+        return x
+
+    def _solve_once(self, barr, trans="N"):
+        """One pass through the block factors: A = P' M Q' with M =
+        blkdiag + F upper block triangular."""
         n = self.n
         r, prow, qcol = self.r, self.sym.prow, self.sym.qcol
         K = len(r) - 1
@@ -137,8 +170,9 @@ class BTFNumeric:
         if out.ndim == 1:
             out = out.reshape(-1, 1)
         nrhs = out.shape[1]
+        s_perm = self.s[prow].reshape(-1, 1)
         if trans == "N":
-            w = out[prow, :]            # P b
+            w = out[prow, :] / s_perm   # R P b  (factors are of R P A Q)
             y = np.zeros_like(w)
             for k in range(K - 1, -1, -1):
                 lo, hi = r[k], r[k + 1]
@@ -157,13 +191,23 @@ class BTFNumeric:
             rhs = w[lo:hi, :] - Ft[lo:hi, :] @ y
             y[lo:hi, :] = self.blocks[k].solve_inplace(rhs, trans)
         x = np.zeros_like(y)
-        x[prow, :] = y                  # x = P' y
+        x[prow, :] = y / s_perm         # x = P' R y  (R = diag(1/s[p]))
         return x
 
     def det(self):
-        d = 1.0 + 0.0j if self.is_complex else 1.0
+        # accumulate in log magnitude + phase: plain products across
+        # blocks and scale factors overflow long before det(A) does
+        phase = 1.0 + 0.0j if self.is_complex else 1.0
+        logmag = 0.0
         for blk in self.blocks:
-            d = d * blk.det()
+            blm, bph = blk.logdet()
+            logmag += blm
+            phase *= bph
+        if phase == 0:
+            return phase
+        logmag += np.sum(np.log(self.s))  # det(R^-1) undoes row scaling
+        with np.errstate(over="ignore"):  # det beyond f64 range -> inf
+            d = phase * np.exp(logmag)
         # permutation signs of prow and qcol
         def perm_sign(p):
             p = np.asarray(p)

@@ -21,7 +21,7 @@ import scipy.sparse as _sp
 import ctypes
 
 from .base import matrix, spmatrix
-from .sparse import canon_csc
+from ._sparse import canon_csc
 from .native import lib
 from . import amd as _amd
 
