@@ -7,75 +7,84 @@ KKT matrix plus two triangular solves (reference misc.py:1352 kkt_chol2 /
 lapack.potrf); the TPU-native design batches many such factorizations
 (scenario batching) onto the MXU with vmap.
 
-Measurement notes: data is freshly drawn each run and every call gets a
-unique scale factor (the axon relay dedupes repeated identical
-executions); throughput is steady-state over a pipelined loop, which
-amortizes the ~30 ms relay round-trip latency.
+Measurement methodology (important on the axon relay): host-side timing
+of individual dispatches is unreliable — unfetched executions are not
+guaranteed to have run, and every fetched call pays a ~30-40 ms relay
+round trip.  The only trustworthy measurement is the SLOPE method: run
+the whole repetition loop on device as one executable (lax.scan with a
+data dependency between iterations so nothing can be elided), fetch one
+scalar, and difference two loop lengths to cancel the fixed relay +
+dispatch cost.  Each scan iteration perturbs the matrix so iterations
+are genuinely distinct work.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 value = batched KKT factorize+solve throughput (factorizations/s/chip)
 vs_baseline = value / scipy-LAPACK-on-CPU throughput on identical problems.
 """
 
+import functools
 import json
 import os
 import time
 
 import numpy as np
 
+B, N = 16, 1024  # batch of condensed-KKT-sized SPD systems
 
-def main():
+
+def tpu_seconds_per_batch():
     import jax
     import jax.numpy as jnp
-    from jax.scipy.linalg import cho_factor, cho_solve
+    from jax.scipy.linalg import cho_solve
 
-    B, n = 16, 1024  # batch of condensed-KKT-sized SPD systems
+    from kvxopt_tpu.ops import best_cholesky
+
     rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
-    # diagonally dominant symmetric matrices: SPD with O(n^2) setup cost
-    A = rng.standard_normal((B, n, n)).astype(np.float32)
-    Ks = 0.5 * (A + A.transpose(0, 2, 1)) + (2.0 * n) * np.eye(
-        n, dtype=np.float32)[None]
-    bs = rng.standard_normal((B, n)).astype(np.float32)
+    A = rng.standard_normal((B, N, N)).astype(np.float32)
+    Ks = 0.5 * (A + A.transpose(0, 2, 1)) + (2.0 * N) * np.eye(
+        N, dtype=np.float32)[None]
+    bs = rng.standard_normal((B, N)).astype(np.float32)
+    Kd, bd = jnp.asarray(Ks), jnp.asarray(bs)
+    eye = jnp.eye(N, dtype=jnp.float32)
 
-    Kd = jnp.asarray(Ks)
-    bd = jnp.asarray(bs)
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def many(K, b, m):
+        def body(carry, _):
+            s, x = carry
+            Kp = K + (s * 1e-9)[None, None, None] * eye
+            L = best_cholesky(Kp)
+            x1 = jax.vmap(lambda Li, bi: cho_solve((Li, True), bi))(L, x)
+            x2 = jax.vmap(lambda Li, bi: cho_solve((Li, True), bi))(L, x1)
+            return (jnp.sum(L[:, -1, :]), x2), None
+        (s, x), _ = jax.lax.scan(body, (jnp.float32(0.0), b), None,
+                                 length=m)
+        return s, x
 
-    @jax.jit
-    def step(K, b, scale):
-        def one(Ki, bi):
-            c = cho_factor(Ki * scale, lower=True)
-            x1 = cho_solve(c, bi)
-            x2 = cho_solve(c, x1)
-            return x2
-        return jax.vmap(one)(K, b)
-
-    # warmup/compile
-    step(Kd, bd, jnp.float32(1.0)).block_until_ready()
-    # several measurement rounds; report the median (the relay's load
-    # makes individual rounds fluctuate)
-    iters, rounds = 20, 3
-    times = []
-    k = 0
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            k += 1
-            out = step(Kd, bd, jnp.float32(1.0 + 1e-6 * k))
-        out.block_until_ready()
-        times.append((time.perf_counter() - t0) / iters)
-    tpu_time = sorted(times)[rounds // 2]
-    tpu_thr = B / tpu_time  # factorize+solve per second
-
-    # correctness spot check
-    x = np.asarray(out[0], dtype=np.float64)
-    r = Ks[0].astype(np.float64) @ (Ks[0].astype(np.float64) @ x) - bs[0]
+    # correctness spot check on the m=1 result
+    s, x = many(Kd, bd, 1)
+    xh = np.asarray(x[0], dtype=np.float64)
+    r = Ks[0].astype(np.float64) @ (Ks[0].astype(np.float64) @ xh) - bs[0]
     assert np.linalg.norm(r) / np.linalg.norm(bs[0]) < 1e-2, "bad solve"
 
-    # CPU baseline: LAPACK (scipy) on the same problems, float64 as the
-    # reference uses (kvxopt is a float64 library)
+    def run(m):
+        t0 = time.perf_counter()
+        float(many(Kd, bd, m)[0])
+        return time.perf_counter() - t0
+
+    m_lo, m_hi = 2, 18
+    run(m_lo); run(m_hi)  # compile both lengths
+    per = []
+    for _ in range(3):
+        per.append((run(m_hi) - run(m_lo)) / (m_hi - m_lo))
+    return sorted(per)[1]  # median of 3 slope estimates
+
+
+def cpu_seconds_per_batch():
     import scipy.linalg as sla
-    K64 = Ks.astype(np.float64)
-    b64 = bs.astype(np.float64)
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((B, N, N))
+    K64 = 0.5 * (A + A.transpose(0, 2, 1)) + (2.0 * N) * np.eye(N)
+    b64 = rng.standard_normal((B, N))
     c = sla.cho_factor(K64[0], lower=True)
     sla.cho_solve(c, b64[0])
     reps = 2
@@ -85,12 +94,16 @@ def main():
             c = sla.cho_factor(K64[i], lower=True)
             x1 = sla.cho_solve(c, b64[i])
             sla.cho_solve(c, x1)
-    t1 = time.perf_counter()
-    cpu_time = (t1 - t0) / reps
-    cpu_thr = B / cpu_time
+    return (time.perf_counter() - t0) / reps
 
+
+def main():
+    tpu_time = tpu_seconds_per_batch()
+    cpu_time = cpu_seconds_per_batch()
+    tpu_thr = B / tpu_time
+    cpu_thr = B / cpu_time
     print(json.dumps({
-        "metric": "batched KKT factorize+solve throughput (n=1024, B=16)",
+        "metric": f"batched KKT factorize+solve throughput (n={N}, B={B})",
         "value": round(tpu_thr, 2),
         "unit": "factorizations/s",
         "vs_baseline": round(tpu_thr / cpu_thr, 2),
