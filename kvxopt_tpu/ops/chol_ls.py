@@ -1,0 +1,246 @@
+"""Lockstep-batched blocked Cholesky (+ block-inverse byproduct) as a
+Pallas TPU kernel.
+
+Motivation (measured on chip with the slope method, B=16 n=1024 f32):
+XLA's cholesky expander runs at ~1.5 TFLOP/s and its triangular-solve
+expander re-inverts diagonal blocks on every solve.  The per-iteration
+KKT cost of every IPM here is factor + 2 solves (reference kkt_chol2,
+misc.py:1352), so both matter.
+
+Design — all B matrices advance through panel kb together ("lockstep"):
+
+  for each 128-wide panel kb (Python-unrolled, static shapes):
+    1. one strided DMA pulls the B diagonal blocks (B,128,128) to VMEM;
+    2. ONE fused 128-step fori_loop factors all B blocks simultaneously
+       and simultaneously accumulates Y = L11^{-1}: at step j the new
+       row u_j of U (D = U'U, L11 = U') and the new row of Y only need
+       rows < j of Y and column j of the still-symmetric D, so factor
+       and inverse share the loop.  This is the whole point: the serial
+       rsqrt chain is paid once per panel, not once per matrix per
+       panel — a 2B-fold cut in serial VPU steps vs. the streaming
+       kernel in ops/chol.py;
+    3. per matrix: the full-height panel transform L[:, kb] =
+       A[:, kb] @ Y' and the rank-128 trailing updates are single
+       fixed-shape (n,128)@(128,128) MXU matmuls with double-buffered
+       column DMAs.
+
+The kernel also emits Dinv[kb] = Y (the per-panel diagonal-block
+inverses) so that triangular solves against L become pure matmul
+streams — no per-solve re-inversion.
+
+Mosaic constraints honored (same empirically-validated op set as
+ops/chol.py): no gather/scatter (masked reductions + where only), no
+variable-extent slices (everything static per unrolled kb), manual
+HBM<->VMEM async copies, f32, n padded to a multiple of 128.
+"""
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
+
+BS = 128
+
+
+SEG = 32
+
+
+def _panel_factor_inverse(dref, uref, yref, aref, B):
+    """Fused lockstep factorization + inverse of B symmetric 128x128
+    blocks, ref-based and 32-segmented.
+
+    dref: (B,BS,BS) symmetric input (destroyed).  On exit uref holds U
+    with D = U'U (row j = u_j, upper triangular) and yref holds
+    Y = (U')^{-1} = L11^{-1} (row j = j-th row of the inverse).  aref
+    is a (B,BS,BS) accumulator workspace: aref[r,:] accumulates
+    sum_k L[r,k]·Y[k,:] so each inverse row costs one strip FMA.
+
+    Cost shape: the per-step serial work is confined to the 32-row
+    strip of the current segment (two (B,32,128) FMAs + (B,1,128) row
+    slices) — ~1MB of VPU traffic per step instead of ~10MB for the
+    masked full-block variant; cross-segment propagation of both the
+    factorization and the inverse happens as rank-32 batched MXU
+    matmuls once per segment."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (B, 1, BS), 2)
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
+    aref[...] = jnp.zeros((B, BS, BS), jnp.float32)
+
+    for seg in range(BS // SEG):
+        lo, hi = seg * SEG, (seg + 1) * SEG
+
+        def step(j, _):
+            urow = dref[:, pl.ds(j, 1), :]               # (B,1,BS)
+            pivot = jnp.sum(jnp.where(lanes == j, urow, zero), axis=2,
+                            keepdims=True)               # (B,1,1)
+            rs = jax.lax.rsqrt(pivot)
+            urow_s = jnp.where(lanes >= j, urow * rs, zero)
+            uref[:, pl.ds(j, 1), :] = urow_s
+            # row j of the inverse: pre-segment contributions arrived
+            # via the rank-32 update below; in-segment ones via the
+            # strip FMA of earlier steps
+            accrow = aref[:, pl.ds(j, 1), :]             # (B,1,BS)
+            ej = jnp.where(lanes == j, one, zero)
+            yrow = (ej - accrow) * rs
+            yref[:, pl.ds(j, 1), :] = yrow
+            # u_j in sublane orientation; rows < j are exactly zero
+            # (masked above), so strip rows already processed are
+            # untouched by both FMAs
+            ucol_s = jnp.swapaxes(urow_s, 1, 2)          # (B,BS,1)
+            ucseg = ucol_s[:, lo:hi, :]                  # (B,SEG,1)
+            aref[:, lo:hi, :] = aref[:, lo:hi, :] + ucseg * yrow
+            dref[:, lo:hi, :] = dref[:, lo:hi, :] - ucseg * urow_s
+            return 0
+
+        jax.lax.fori_loop(jnp.int32(lo), jnp.int32(hi), step, 0)
+
+        if hi < BS:
+            # rank-32 propagation to rows [hi, BS): one batched MXU
+            # matmul each for the factorization and the inverse
+            Useg = uref[:, lo:hi, :]                     # (B,SEG,BS)
+            Yseg = yref[:, lo:hi, :]                     # (B,SEG,BS)
+            Utail = Useg[:, :, hi:]                      # (B,SEG,BS-hi)
+            dims = (((1,), (1,)), ((0,), (0,)))
+            upd = jax.lax.dot_general(
+                Utail, Useg, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)      # (B,BS-hi,BS)
+            dref[:, hi:, :] = dref[:, hi:, :] - upd
+            aupd = jax.lax.dot_general(
+                Utail, Yseg, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+            aref[:, hi:, :] = aref[:, hi:, :] + aupd
+
+
+def _chol_ls_kernel(nb, B, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
+                    ubuf, ybuf, abuf, psems, csems, dsem):
+    """Single-program lockstep kernel.  a_hbm: (B,n,n) input; o_hbm:
+    (B,n,n) factor workspace/output; dinv_hbm: (nb,B,BS,BS) block
+    inverses.  The workspace holds partially-updated trailing columns
+    of every matrix from panel 1 on (panel 0 reads the input)."""
+    n = nb * BS
+    rows_nB = jax.lax.broadcasted_iota(jnp.int32, (n, BS), 0)
+    zero = jnp.float32(0.0)
+
+    def panel_cp(src, b, cb, slot):
+        return pltpu.make_async_copy(src.at[jnp.int32(b), :, cb:cb + BS],
+                                     pbuf.at[jnp.int32(slot)], psems.at[jnp.int32(slot)])
+
+    def col_cp(src, b, cb, slot):
+        return pltpu.make_async_copy(src.at[jnp.int32(b), :, cb:cb + BS],
+                                     cbuf.at[jnp.int32(slot)], csems.at[jnp.int32(slot)])
+
+    for kb in range(nb):
+        base = kb * BS
+        src = a_hbm if kb == 0 else o_hbm
+
+        # ---- 1. gather the B diagonal blocks (one strided DMA) ------
+        dcp = pltpu.make_async_copy(
+            src.at[:, base:base + BS, base:base + BS], dbuf, dsem)
+        dcp.start()
+        dcp.wait()
+
+        # ---- 2. fused lockstep factor + inverse ---------------------
+        _panel_factor_inverse(dbuf, ubuf, ybuf, abuf, B)
+        ycp = pltpu.make_async_copy(ybuf, dinv_hbm.at[jnp.int32(kb)], dsem)
+        ycp.start()
+        L11 = jnp.swapaxes(ubuf[...], 1, 2)  # (B,BS,BS) lower
+        ycp.wait()
+
+        # ---- 3. per-matrix panel + trailing (double-buffered) -------
+        panel_cp(src, 0, base, 0).start()
+        for b in range(B):
+            ps = b % 2
+            panel_cp(src, b, base, ps).wait()
+            if b + 1 < B:
+                panel_cp(src, b + 1, base, (b + 1) % 2).start()
+
+            # panel transform: L[:, kb] = P @ L11^{-T} = P @ Y'
+            P = pbuf[ps]                                   # (n,BS)
+            L = jax.lax.dot_general(
+                P, ybuf[b], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (n,BS)
+            # rows above the panel: zero; panel rows: L11
+            L = jnp.where(rows_nB < base + BS, zero, L)
+            pbuf[ps] = L
+            pbuf[ps, base:base + BS, :] = L11[b]
+            L = pbuf[ps]
+            wb = pltpu.make_async_copy(
+                pbuf.at[jnp.int32(ps)], o_hbm.at[jnp.int32(b), :, base:base + BS],
+                psems.at[jnp.int32(ps)])
+            wb.start()
+
+            # trailing updates: C_jb -= L @ L[jb-block rows]'
+            if kb + 1 < nb:
+                col_cp(src, b, (kb + 1) * BS, 0).start()
+            for jb in range(kb + 1, nb):
+                cs = (jb - kb - 1) % 2
+                cb = jb * BS
+                col_cp(src, b, cb, cs).wait()
+                if jb + 1 < nb:
+                    col_cp(src, b, (jb + 1) * BS, (jb - kb) % 2).start()
+                Ljb = L[cb:cb + BS, :]
+                upd = jax.lax.dot_general(
+                    L, Ljb, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (n,BS)
+                cbuf[cs] = cbuf[cs] - upd
+                wcp = pltpu.make_async_copy(
+                    cbuf.at[jnp.int32(cs)], o_hbm.at[jnp.int32(b), :, cb:cb + BS],
+                    csems.at[jnp.int32(cs)])
+                wcp.start()
+                wcp.wait()
+            wb.wait()
+
+
+def cholesky_ls_available():
+    return jax.default_backend() != "cpu"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def batched_cholesky_ls(A, interpret=False):
+    """Lower Cholesky factors of a batch of SPD matrices (B,n,n) f32,
+    plus the per-panel diagonal-block inverses (nb,B,128,128) consumed
+    by the fused triangular-solve kernel.  Returns (L, Dinv)."""
+    B, n, _ = A.shape
+    nb = -(-n // BS)
+    npad = nb * BS
+    if npad != n:
+        Ap = jnp.zeros((B, npad, npad), A.dtype)
+        Ap = Ap.at[:, :n, :n].set(A)
+        idx = jnp.arange(n, npad)
+        Ap = Ap.at[:, idx, idx].set(1.0)
+    else:
+        Ap = A
+
+    kernel = functools.partial(_chol_ls_kernel, nb, B)
+    L, Dinv = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((B, npad, npad), A.dtype),
+                   jax.ShapeDtypeStruct((nb, B, BS, BS), A.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, npad, BS), jnp.float32),
+                        pltpu.VMEM((2, npad, BS), jnp.float32),
+                        pltpu.VMEM((B, BS, BS), jnp.float32),
+                        pltpu.VMEM((B, BS, BS), jnp.float32),
+                        pltpu.VMEM((B, BS, BS), jnp.float32),
+                        pltpu.VMEM((B, BS, BS), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=B * npad ** 3 // 3,
+            bytes_accessed=3 * B * npad * npad * 4,
+            transcendentals=B * npad),
+    )(Ap)
+    if npad != n:
+        L = L[:, :n, :n]
+    return jnp.tril(L), Dinv
