@@ -18,7 +18,7 @@ Design — all B matrices advance through panel kb together ("lockstep"):
        and inverse share the loop.  This is the whole point: the serial
        rsqrt chain is paid once per panel, not once per matrix per
        panel — a 2B-fold cut in serial VPU steps vs. the streaming
-       kernel in ops/chol.py;
+       kernel in ops/chol.py (16-row segments, rank-16 MXU propagation);
     3. per matrix: the full-height panel transform L[:, kb] =
        A[:, kb] @ Y' and the rank-128 trailing updates are single
        fixed-shape (n,128)@(128,128) MXU matmuls with double-buffered
@@ -48,7 +48,7 @@ if sys.getrecursionlimit() < 20000:
 BS = 128
 
 
-SEG = 32
+SEG = 16
 
 
 def _panel_factor_inverse(dref, uref, yref, aref, B):
@@ -118,23 +118,33 @@ def _panel_factor_inverse(dref, uref, yref, aref, B):
             aref[:, hi:, :] = aref[:, hi:, :] + aupd
 
 
-def _chol_ls_kernel(nb, B, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
+def _chol_ls_kernel(nb, B, G, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
                     ubuf, ybuf, abuf, psems, csems, dsem):
     """Single-program lockstep kernel.  a_hbm: (B,n,n) input; o_hbm:
     (B,n,n) factor workspace/output; dinv_hbm: (nb,B,BS,BS) block
     inverses.  The workspace holds partially-updated trailing columns
-    of every matrix from panel 1 on (panel 0 reads the input)."""
+    of every matrix from panel 1 on (panel 0 reads the input).
+
+    Phase 3 processes matrices in groups of G: one strided DMA gathers
+    a whole group's panel/column blocks and one batched dot_general
+    updates them, cutting DMA/matmul dispatch count G-fold vs.
+    per-matrix streaming."""
     n = nb * BS
-    rows_nB = jax.lax.broadcasted_iota(jnp.int32, (n, BS), 0)
-    zero = jnp.float32(0.0)
 
-    def panel_cp(src, b, cb, slot):
-        return pltpu.make_async_copy(src.at[jnp.int32(b), :, cb:cb + BS],
-                                     pbuf.at[jnp.int32(slot)], psems.at[jnp.int32(slot)])
+    def gpanel_cp(src, gs, cb, slot):
+        # live rows only: [cb, n) of column block cb, whole group
+        return pltpu.make_async_copy(
+            src.at[gs:gs + G, cb:, cb:cb + BS],
+            pbuf.at[jnp.int32(slot), :, :n - cb, :],
+            psems.at[jnp.int32(slot)])
 
-    def col_cp(src, b, cb, slot):
-        return pltpu.make_async_copy(src.at[jnp.int32(b), :, cb:cb + BS],
-                                     cbuf.at[jnp.int32(slot)], csems.at[jnp.int32(slot)])
+    def gcol_cp(src, gs, cb, slot):
+        return pltpu.make_async_copy(
+            src.at[gs:gs + G, cb:, cb:cb + BS],
+            cbuf.at[jnp.int32(slot), :, :n - cb, :],
+            csems.at[jnp.int32(slot)])
+
+    dims_bt = (((2,), (2,)), ((0,), (0,)))   # batched X @ Y^T
 
     for kb in range(nb):
         base = kb * BS
@@ -153,48 +163,67 @@ def _chol_ls_kernel(nb, B, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
         L11 = jnp.swapaxes(ubuf[...], 1, 2)  # (B,BS,BS) lower
         ycp.wait()
 
-        # ---- 3. per-matrix panel + trailing (double-buffered) -------
-        panel_cp(src, 0, base, 0).start()
-        for b in range(B):
-            ps = b % 2
-            panel_cp(src, b, base, ps).wait()
-            if b + 1 < B:
-                panel_cp(src, b + 1, base, (b + 1) % 2).start()
+        # ---- 3. group-batched panel + trailing ----------------------
+        # Only rows >= the column block are ever read downstream (the
+        # diagonal-block DMA, the panel transform, and the final tril
+        # all ignore the strictly-upper region), so every DMA and
+        # matmul is restricted to them.
+        nr = n - base                       # live rows of this panel
+        ngroups = B // G
+        gpanel_cp(src, 0, base, 0).start()
+        for g in range(ngroups):
+            gs = g * G
+            ps = g % 2
+            gpanel_cp(src, gs, base, ps).wait()
+            if g + 1 < ngroups:
+                gpanel_cp(src, gs + G, base, (g + 1) % 2).start()
 
-            # panel transform: L[:, kb] = P @ L11^{-T} = P @ Y'
-            P = pbuf[ps]                                   # (n,BS)
+            # panel transform: L[kb:, kb] = P @ L11^{-T} = P @ Y'
+            P = pbuf[ps, :, :nr, :]                        # (G,nr,BS)
             L = jax.lax.dot_general(
-                P, ybuf[b], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (n,BS)
-            # rows above the panel: zero; panel rows: L11
-            L = jnp.where(rows_nB < base + BS, zero, L)
-            pbuf[ps] = L
-            pbuf[ps, base:base + BS, :] = L11[b]
-            L = pbuf[ps]
+                P, ybuf[gs:gs + G], dimension_numbers=dims_bt,
+                preferred_element_type=jnp.float32)        # (G,nr,BS)
+            pbuf[ps, :, :nr, :] = L
+            pbuf[ps, :, :BS, :] = L11[gs:gs + G]  # diagonal band
+            L = pbuf[ps, :, :nr, :]
             wb = pltpu.make_async_copy(
-                pbuf.at[jnp.int32(ps)], o_hbm.at[jnp.int32(b), :, base:base + BS],
+                pbuf.at[jnp.int32(ps), :, :nr, :],
+                o_hbm.at[gs:gs + G, base:, base:base + BS],
                 psems.at[jnp.int32(ps)])
             wb.start()
 
-            # trailing updates: C_jb -= L @ L[jb-block rows]'
+            # trailing updates: C_jb[cb:, :] -= L[cb:, :] @ L[jb-band]'
+            # Write-backs stay in flight; a slot's write is only waited
+            # when the slot is about to be refilled (or at loop exit).
             if kb + 1 < nb:
-                col_cp(src, b, (kb + 1) * BS, 0).start()
+                gcol_cp(src, gs, (kb + 1) * BS, 0).start()
+            pending = [None, None]          # per-slot in-flight write
             for jb in range(kb + 1, nb):
                 cs = (jb - kb - 1) % 2
                 cb = jb * BS
-                col_cp(src, b, cb, cs).wait()
+                lo = cb - base              # local row of block jb
+                gcol_cp(src, gs, cb, cs).wait()
                 if jb + 1 < nb:
-                    col_cp(src, b, (jb + 1) * BS, (jb - kb) % 2).start()
-                Ljb = L[cb:cb + BS, :]
+                    ns = (jb - kb) % 2
+                    if pending[ns] is not None:
+                        pending[ns].wait()
+                        pending[ns] = None
+                    gcol_cp(src, gs, (jb + 1) * BS, ns).start()
+                Lsub = L[:, lo:, :]                        # (G,n-cb,BS)
+                Ljb = L[:, lo:lo + BS, :]                  # (G,BS,BS)
                 upd = jax.lax.dot_general(
-                    L, Ljb, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (n,BS)
-                cbuf[cs] = cbuf[cs] - upd
+                    Lsub, Ljb, dimension_numbers=dims_bt,
+                    preferred_element_type=jnp.float32)    # (G,n-cb,BS)
+                cbuf[cs, :, :n - cb, :] = cbuf[cs, :, :n - cb, :] - upd
                 wcp = pltpu.make_async_copy(
-                    cbuf.at[jnp.int32(cs)], o_hbm.at[jnp.int32(b), :, cb:cb + BS],
+                    cbuf.at[jnp.int32(cs), :, :n - cb, :],
+                    o_hbm.at[gs:gs + G, cb:, cb:cb + BS],
                     csems.at[jnp.int32(cs)])
                 wcp.start()
-                wcp.wait()
+                pending[cs] = wcp
+            for p in pending:
+                if p is not None:
+                    p.wait()
             wb.wait()
 
 
@@ -218,7 +247,8 @@ def batched_cholesky_ls(A, interpret=False):
     else:
         Ap = A
 
-    kernel = functools.partial(_chol_ls_kernel, nb, B)
+    G = next(g for g in (8, 4, 2, 1) if B % g == 0)
+    kernel = functools.partial(_chol_ls_kernel, nb, B, G)
     L, Dinv = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -226,8 +256,8 @@ def batched_cholesky_ls(A, interpret=False):
                    pl.BlockSpec(memory_space=pl.ANY)],
         out_shape=[jax.ShapeDtypeStruct((B, npad, npad), A.dtype),
                    jax.ShapeDtypeStruct((nb, B, BS, BS), A.dtype)],
-        scratch_shapes=[pltpu.VMEM((2, npad, BS), jnp.float32),
-                        pltpu.VMEM((2, npad, BS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, G, npad, BS), jnp.float32),
+                        pltpu.VMEM((2, G, npad, BS), jnp.float32),
                         pltpu.VMEM((B, BS, BS), jnp.float32),
                         pltpu.VMEM((B, BS, BS), jnp.float32),
                         pltpu.VMEM((B, BS, BS), jnp.float32),
@@ -236,6 +266,8 @@ def batched_cholesky_ls(A, interpret=False):
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=B * npad ** 3 // 3,
             bytes_accessed=3 * B * npad * npad * 4,
