@@ -35,9 +35,8 @@ B, N = 16, 1024  # batch of condensed-KKT-sized SPD systems
 def tpu_seconds_per_batch():
     import jax
     import jax.numpy as jnp
-    from jax.scipy.linalg import cho_solve
 
-    from kvxopt_tpu.ops import best_cholesky
+    from kvxopt_tpu.ops import best_chol_factor_solve
 
     rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     A = rng.standard_normal((B, N, N)).astype(np.float32)
@@ -52,10 +51,9 @@ def tpu_seconds_per_batch():
         def body(carry, _):
             s, x = carry
             Kp = K + (s * 1e-9)[None, None, None] * eye
-            L = best_cholesky(Kp)
-            x1 = jax.vmap(lambda Li, bi: cho_solve((Li, True), bi))(L, x)
-            x2 = jax.vmap(lambda Li, bi: cho_solve((Li, True), bi))(L, x1)
-            return (jnp.sum(L[:, -1, :]), x2), None
+            f, solve = best_chol_factor_solve(Kp)
+            x2 = solve(f, solve(f, x))
+            return (jnp.sum(x2) * 1e-9, x2), None
         (s, x), _ = jax.lax.scan(body, (jnp.float32(0.0), b), None,
                                  length=m)
         return s, x

@@ -276,3 +276,124 @@ def batched_cholesky_ls(A, interpret=False):
     if npad != n:
         L = L[:, :n, :n]
     return jnp.tril(L), Dinv
+
+
+def _solve_kernel(nb, B, k, l_hbm, dinv_hbm, b_hbm, x_hbm, fbuf, bbuf,
+                  dbuf, zbuf, bsem, dsem):
+    """Fused forward+backward substitution for L L' X = B using the
+    factor kernel's per-panel diagonal-block inverses: every block step
+    is one band DMA + one batched MXU matmul + one (B,k,128) @ inverse
+    matmul — no per-solve re-inversion (XLA's triangular_solve expander
+    re-inverts diagonal blocks on every call).
+
+    RHS layout is (B,k,n) so each 128-block of the solution vector is a
+    lane-oriented (B,k,128) tile; contraction against row/column bands
+    of L happens via dot_general without any transposes."""
+    n = nb * BS
+
+    zin = pltpu.make_async_copy(b_hbm, zbuf, bsem)
+    zin.start()
+    zin.wait()
+
+    # ---- forward sweep: z_i = Yii (b_i - sum_{j<i} L_ij z_j) --------
+    for i in range(nb):
+        bi = i * BS
+        dcp = pltpu.make_async_copy(dinv_hbm.at[jnp.int32(i)], dbuf,
+                                    dsem)
+        dcp.start()
+        if bi > 0:
+            fcp = pltpu.make_async_copy(
+                l_hbm.at[:, bi:bi + BS, :bi], fbuf.at[:, :, :bi], bsem)
+            fcp.start()
+        acc = zbuf[:, :, bi:bi + BS]                     # (B,k,BS)
+        if bi > 0:
+            fcp.wait()
+            band = fbuf[:, :, :bi]                       # (B,BS,bi)
+            acc = acc - jax.lax.dot_general(
+                zbuf[:, :, :bi], band,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (B,k,BS)
+        dcp.wait()
+        # z_i = Yii @ acc'  (lane-oriented result)
+        zbuf[:, :, bi:bi + BS] = jax.lax.dot_general(
+            acc, dbuf[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    # ---- backward sweep: x_i = Yii' (z_i - sum_{j>i} L_ji' x_j) -----
+    for i in range(nb - 1, -1, -1):
+        bi = i * BS
+        hi = bi + BS
+        dcp = pltpu.make_async_copy(dinv_hbm.at[jnp.int32(i)], dbuf,
+                                    dsem)
+        dcp.start()
+        if hi < n:
+            bcp = pltpu.make_async_copy(
+                l_hbm.at[:, hi:, bi:bi + BS], bbuf.at[:, :n - hi, :],
+                bsem)
+            bcp.start()
+        acc = zbuf[:, :, bi:bi + BS]
+        if hi < n:
+            bcp.wait()
+            band = bbuf[:, :n - hi, :]                   # (B,n-hi,BS)
+            acc = acc - jax.lax.dot_general(
+                zbuf[:, :, hi:], band,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        dcp.wait()
+        # x_i = Yii' @ acc'
+        zbuf[:, :, bi:bi + BS] = jax.lax.dot_general(
+            acc, dbuf[...],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    zout = pltpu.make_async_copy(zbuf, x_hbm, bsem)
+    zout.start()
+    zout.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_solve_ls(L, Dinv, rhs, interpret=False):
+    """Solve L L' X = rhs given batched_cholesky_ls output.  rhs:
+    (B,n) or (B,n,k); returns the same shape."""
+    B, n, _ = L.shape
+    nb = Dinv.shape[0]
+    npad = nb * BS
+    vec = rhs.ndim == 2
+    r3 = rhs[:, :, None] if vec else rhs
+    k = r3.shape[2]
+    rT = jnp.swapaxes(r3, 1, 2)                          # (B,k,n)
+    if npad != n:
+        rT = jnp.concatenate(
+            [rT, jnp.zeros((B, k, npad - n), rT.dtype)], axis=2)
+        Lp = jnp.zeros((B, npad, npad), L.dtype)
+        Lp = Lp.at[:, :n, :n].set(L)
+        idx = jnp.arange(n, npad)
+        Lp = Lp.at[:, idx, idx].set(1.0)
+    else:
+        Lp = L
+
+    kernel = functools.partial(_solve_kernel, nb, B, k)
+    xT = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, k, npad), rT.dtype),
+        scratch_shapes=[pltpu.VMEM((B, BS, npad), jnp.float32),
+                        pltpu.VMEM((B, npad, BS), jnp.float32),
+                        pltpu.VMEM((B, BS, BS), jnp.float32),
+                        pltpu.VMEM((B, k, npad), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * npad * npad * k,
+            bytes_accessed=B * npad * npad * 4,
+            transcendentals=0),
+    )(Lp, Dinv, rT)
+    x = jnp.swapaxes(xT[:, :, :n], 1, 2)
+    return x[:, :, 0] if vec else x

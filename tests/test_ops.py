@@ -18,3 +18,41 @@ def test_batched_cholesky_interpret(B, n):
     Lref = np.linalg.cholesky(K)
     scale = np.abs(Lref).max()
     assert np.abs(np.asarray(L) - Lref).max() / scale < 1e-5
+
+
+from kvxopt_tpu.ops.chol_ls import batched_cholesky_ls, chol_solve_ls
+
+
+@pytest.mark.parametrize("B,n", [(2, 128), (1, 200), (3, 256), (8, 64)])
+def test_lockstep_cholesky_interpret(B, n):
+    rng = np.random.default_rng(1)
+    G = rng.standard_normal((B, 2 * n, n)).astype(np.float32)
+    K = np.einsum("bij,bik->bjk", G, G) + n * np.eye(n, dtype=np.float32)
+    L, Dinv = batched_cholesky_ls(jnp.asarray(K), interpret=True)
+    Lref = np.linalg.cholesky(K)
+    scale = np.abs(Lref).max()
+    assert np.abs(np.asarray(L) - Lref).max() / scale < 1e-5
+    # the emitted diagonal-block inverses invert the factor's blocks
+    nb = Dinv.shape[0]
+    for kb in range(nb):
+        lo = kb * 128
+        hi = min(lo + 128, n)
+        blk = np.asarray(L)[0, lo:hi, lo:hi]
+        I = np.asarray(Dinv)[kb, 0][:hi - lo, :hi - lo] @ blk
+        assert np.abs(I - np.eye(hi - lo)).max() < 1e-4
+
+
+@pytest.mark.parametrize("B,n,k", [(2, 128, 0), (3, 256, 1), (2, 200, 4)])
+def test_lockstep_chol_solve_interpret(B, n, k):
+    rng = np.random.default_rng(2)
+    G = rng.standard_normal((B, 2 * n, n)).astype(np.float32)
+    K = np.einsum("bij,bik->bjk", G, G) + n * np.eye(n, dtype=np.float32)
+    Kd = jnp.asarray(K)
+    L, Dinv = batched_cholesky_ls(Kd, interpret=True)
+    shape = (B, n) if k == 0 else (B, n, k)
+    b = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+    x = chol_solve_ls(L, Dinv, b, interpret=True)
+    assert x.shape == b.shape
+    r = jnp.einsum("bij,bj...->bi...", Kd, x) - b
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert rel < 1e-5
