@@ -14,7 +14,9 @@ from . import config
 from .base import matrix
 
 _seed = 0
-_key = jax.random.PRNGKey(0)
+_key = None  # created lazily: PRNGKey at import time would initialize
+             # the jax backend during `import kvxopt_tpu`, making the
+             # whole package unimportable when no backend is available
 
 
 def setseed(value=0):
@@ -31,6 +33,8 @@ def getseed():
 
 def _next_key():
     global _key
+    if _key is None:
+        _key = jax.random.PRNGKey(_seed)
     _key, sub = jax.random.split(_key)
     return sub
 
