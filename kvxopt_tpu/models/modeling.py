@@ -452,10 +452,22 @@ class constraint:
     def __init__(self, f, kind, name=""):
         self.f = f           # affine, pwl, or pwl_scalar; constraint f<=0
         self.kind = kind     # '<' or '='
-        self.name = name
         self.multiplier = variable(
-            len(f) if isinstance(f, (affine, pwl)) else 1,
-            name=f"mul_{name or id(self)}")
+            len(f) if isinstance(f, (affine, pwl)) else 1)
+        self.name = name     # also names the multiplier (property below)
+
+    @property
+    def name(self):
+        return self._name
+
+    @name.setter
+    def name(self, value):
+        """Renaming a constraint renames its multiplier to '<name>_mul'
+        (reference doc/source/modeling.rst: constraint.name)."""
+        if not isinstance(value, str):
+            raise TypeError("attribute 'name' must be string")
+        self._name = value
+        self.multiplier.name = f"{value}_mul" if value else ""
 
     def type(self):
         return self.kind

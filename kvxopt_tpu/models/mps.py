@@ -63,16 +63,33 @@ def read_mps(problem, f):
                 col_order.append(cname)
             for i in range(1, len(parts) - 1, 2):
                 entries.append((parts[i], cname, float(parts[i + 1])))
-        elif section == "RHS":
-            for i in range(1, len(parts) - 1, 2):
-                rhs[parts[i]] = float(parts[i + 1])
-        elif section == "RANGES":
-            for i in range(1, len(parts) - 1, 2):
-                ranges[parts[i]] = float(parts[i + 1])
+        elif section in ("RHS", "RANGES"):
+            # the rhs/range-set name token is optional (the reference
+            # writer omits it, modeling.py:2726): if the first token is
+            # a known row name, pairs start at 0
+            start = 0 if parts[0] in rows else 1
+            target = rhs if section == "RHS" else ranges
+            for i in range(start, len(parts) - 1, 2):
+                target[parts[i]] = float(parts[i + 1])
         elif section == "BOUNDS":
             btype = parts[0].upper()
-            cname = parts[2]
-            val = float(parts[3]) if len(parts) > 3 else 0.0
+            # the bound-set name is optional (the reference writer
+            # omits it, modeling.py:2750): with a value-less type and
+            # two tokens, or a valued type and three, parts[1] is
+            # already the column
+            if len(parts) >= 4:
+                cname, val = parts[2], float(parts[3])
+            elif len(parts) == 3:
+                if btype in ("UP", "LO", "FX"):
+                    try:
+                        val = float(parts[2])
+                        cname = parts[1]
+                    except ValueError:
+                        cname, val = parts[2], 0.0
+                else:
+                    cname, val = parts[2], 0.0
+            else:
+                cname, val = parts[1], 0.0
             lo, up = bounds.get(cname, [0.0, np.inf])
             if btype == "UP":
                 up = val
@@ -173,11 +190,23 @@ def read_mps(problem, f):
     return problem
 
 
+def _scalar_name(base, i, m, fallback):
+    """Reference row/column labels (modeling.py:2671): the name
+    truncated to fit, '_', the scalar index — one label per scalar row
+    or column of a vector constraint/variable."""
+    base = "".join(ch for ch in base if not ch.isspace()) or fallback
+    if m == 1 and not base[-1:].isdigit():
+        return base[:8]
+    return base[:7 - len(str(i))] + "_" + str(i)
+
+
 def write_mps(problem, f):
-    """Emit the canonicalized LP.  Inequality rows carry the originating
-    constraint's name when it has one (suffixed by the row index within
-    the constraint); all variables are written free (the canonical form
-    encodes bounds as rows)."""
+    """Emit the canonicalized LP in MPS form, mirroring the reference
+    writer's sections (modeling.py:2640): NAME, ROWS (objective row
+    'cost', one L/E row per scalar constraint row labeled from the
+    originating constraint's name), COLUMNS (labeled from variable
+    names), RHS, RANGES (empty), BOUNDS (all variables free — the
+    canonical form encodes bounds as rows), ENDATA."""
     close = False
     if isinstance(f, str):
         f = open(f, "w")
@@ -186,41 +215,70 @@ def write_mps(problem, f):
         (cvec, const0, G, h, A, b, var_index, ineq_rows, varlist,
          con_aux) = problem._build_lp()
         n = len(cvec)
+        # inequality (G) row labels from originating constraints
         rownames = [f"GROW{i}" for i in range(G.shape[0])]
-        for c, _aux in con_aux:
-            if c in ineq_rows and c.name:
+        for k, (c, _aux) in enumerate(con_aux):
+            if c in ineq_rows:
                 s0, m = ineq_rows[c]
-                base = "".join(ch for ch in c.name if ch.isalnum())[:6]
-                for k in range(m):
-                    rownames[s0 + k] = f"{base}_{k}" if m > 1 else base
-        f.write(f"NAME          {problem.name or 'KVXOPT'}\n")
-        f.write("ROWS\n")
-        f.write(" N  COST\n")
-        for name in rownames:
-            f.write(f" L  {name}\n")
+                for i in range(m):
+                    rownames[s0 + i] = _scalar_name(
+                        c.name or str(k), i, m, f"R{k}")
+        # equality (A) row labels: equalities land in con_aux order
         mA = A.shape[0] if A is not None else 0
-        for i in range(mA):
-            f.write(f" E  AROW{i}\n")
+        eqnames = [f"AROW{i}" for i in range(mA)]
+        ofs = 0
+        for k, (c, _aux) in enumerate(con_aux):
+            if c.kind == "=":
+                for i in range(len(c)):
+                    eqnames[ofs + i] = _scalar_name(
+                        c.name or str(k), i, len(c), f"E{k}")
+                ofs += len(c)
+        # column labels from variable names
+        colnames = [f"X{j}" for j in range(n)]
+        for k, v in enumerate(varlist):
+            sl = var_index[v]
+            idx = range(sl.start, sl.stop) if isinstance(sl, slice) \
+                else list(np.atleast_1d(sl))
+            m = len(list(idx))
+            for i, j in enumerate(idx):
+                colnames[j] = _scalar_name(
+                    getattr(v, "name", "") or str(k), i, m, f"X{j}")
+        f.write("NAME")
+        if problem.name:
+            f.write(10 * " " + problem.name[:8].rjust(8))
+        f.write("\n")
+        f.write("ROWS\n")
+        f.write(" N  %8s\n" % "cost")
+        for name in rownames:
+            f.write(" L  " + name.rjust(8) + "\n")
+        for name in eqnames:
+            f.write(" E  " + name.rjust(8) + "\n")
         f.write("COLUMNS\n")
         for j in range(n):
+            cn = colnames[j].rjust(8)
             if cvec[j] != 0.0:
-                f.write(f"    X{j}  COST  {cvec[j]:.17g}\n")
+                f.write(f"    {cn}  {'cost':>8}  % 7.5E\n" % cvec[j])
             for i in range(G.shape[0]):
                 if G[i, j] != 0.0:
-                    f.write(f"    X{j}  {rownames[i]}  {G[i, j]:.17g}\n")
+                    f.write(f"    {cn}  {rownames[i]:>8}  % 7.5E\n"
+                            % G[i, j])
             for i in range(mA):
                 if A[i, j] != 0.0:
-                    f.write(f"    X{j}  AROW{i}  {A[i, j]:.17g}\n")
+                    f.write(f"    {cn}  {eqnames[i]:>8}  % 7.5E\n"
+                            % A[i, j])
         f.write("RHS\n")
         for i in range(G.shape[0]):
             if h[i] != 0.0:
-                f.write(f"    RHS  {rownames[i]}  {h[i]:.17g}\n")
+                f.write(14 * " " + rownames[i].rjust(8) +
+                        "  % 7.5E\n" % h[i])
         for i in range(mA):
             if b[i] != 0.0:
-                f.write(f"    RHS  AROW{i}  {b[i]:.17g}\n")
+                f.write(14 * " " + eqnames[i].rjust(8) +
+                        "  % 7.5E\n" % b[i])
+        f.write("RANGES\n")
         f.write("BOUNDS\n")
         for j in range(n):
-            f.write(f" FR BND  X{j}\n")
+            f.write(" FR " + 10 * " " + colnames[j].rjust(8) + "\n")
         f.write("ENDATA\n")
     finally:
         if close:

@@ -192,3 +192,49 @@ def test_nested_pwl_in_constraint():
     assert prob.status == "optimal"
     np.testing.assert_allclose(np.asarray(x.value).reshape(-1),
                                [1.0, 0.0], atol=1e-5)
+
+
+def test_constraint_name_renames_multiplier():
+    # reference doc/source/modeling.rst: c.name = 'newname' also renames
+    # c.multiplier to 'newname_mul'
+    from kvxopt_tpu.models.modeling import variable
+    x = variable(2, name="x")
+    c = x <= 1.0
+    c.name = "cap"
+    assert c.multiplier.name == "cap_mul"
+    c.name = "newname"
+    assert c.multiplier.name == "newname_mul"
+
+
+def test_mps_roundtrip_named(tmp_path):
+    import io
+    import numpy as np
+    from kvxopt_tpu.models.modeling import variable, op
+    from kvxopt_tpu import matrix
+
+    x = variable(2, name="xvar")
+    A = matrix(np.array([[2., 1.], [1., 2.], [-1., 0.], [0., -1.]]))
+    b = matrix(np.array([3., 3., 0., 0.]).reshape(-1, 1))
+    c1 = (A * x <= b)
+    c1.name = "ineq"
+    c2 = (x[0] + x[1] == 1.5)
+    c2.name = "bal"
+    lp = op(-4.0 * x[0] - 5.0 * x[1], [c1, c2], name="test")
+    lp.solve()
+    v1 = np.asarray(x.value).ravel()
+
+    path = str(tmp_path / "t.mps")
+    lp.tofile(path)
+    txt = open(path).read()
+    # reference section structure: cost row, RANGES header, FR bounds
+    assert "cost" in txt and "RANGES" in txt and " FR " in txt
+    assert "xvar_0" in txt and "ineq_0" in txt and "bal" in txt
+
+    lp2 = op()
+    lp2.fromfile(path)
+    lp2.solve()
+    assert lp2.status == "optimal"
+    v2 = np.asarray(lp2.variables()[0].value).ravel()
+    assert np.allclose(v1, v2, atol=1e-5)
+    names = {c.name for c in lp2.constraints()}
+    assert {"bal", "ineq_0", "ineq_3"} <= names
