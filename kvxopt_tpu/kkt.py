@@ -76,10 +76,20 @@ def _keff(P, H, n, dtype):
 def _chol_spd(K, reg):
     if reg:
         K = K + reg * jnp.eye(K.shape[0], dtype=K.dtype)
+    if K.dtype == jnp.float32:
+        # vmap-collapsible factor: under a vmapped IPM this becomes one
+        # lockstep Pallas kernel call for the whole scenario batch
+        # (ops/ipm_chol.py); single-instance and f64 traces fall back
+        # to XLA with the identical factor structure
+        from .ops.ipm_chol import chol_factor
+        return chol_factor(K)
     return jnp.linalg.cholesky(K)
 
 
 def _chol_solve(L, b):
+    if isinstance(L, tuple):
+        from .ops.ipm_chol import chol_solve
+        return chol_solve(L[0], L[1], b)
     y = solve_triangular(L, b, lower=True)
     return solve_triangular(L.T, y, lower=False)
 

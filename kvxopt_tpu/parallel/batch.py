@@ -47,9 +47,17 @@ def make_qp_solver(dims, kktsolver=None, options=None, with_eq=False):
 
     def solve(P, q, G, h, A=None, b=None):
         dtype = q.dtype
+        # cast everything to q's dtype: a single float64 operand (easy
+        # to produce via numpy promotion, e.g. f32_array / np.sqrt(n))
+        # would otherwise leak f64 into the jitted iteration and fail
+        # deep inside a lax.cond with mismatched branch dtypes
+        P, G, h = (jnp.asarray(a, dtype) for a in (P, G, h))
         if A is None:
             A = jnp.zeros((0, q.shape[0]), dtype)
             b = jnp.zeros((0,), dtype)
+        else:
+            A = jnp.asarray(A, dtype)
+            b = jnp.asarray(b, dtype)
         factor = kkt.make_kkt_solver(kktsolver, dims, G, A, P, reg=o.kktreg)
         gmv = lambda v, trans=False: (G.T @ v if trans else G @ v)
         amv = lambda v, trans=False: (A.T @ v if trans else A @ v)

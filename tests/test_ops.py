@@ -56,3 +56,28 @@ def test_lockstep_chol_solve_interpret(B, n, k):
     r = jnp.einsum("bij,bj...->bi...", Kd, x) - b
     rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
     assert rel < 1e-5
+
+
+def test_custom_vmap_chol_collapses():
+    # ipm_chol.chol_factor/chol_solve: identical results vmapped and
+    # per-instance (on CPU the batch rule falls back to vmapped XLA,
+    # exercising the same structure the TPU pallas path uses)
+    import jax
+    from kvxopt_tpu.ops.ipm_chol import chol_factor, chol_solve
+    rng = np.random.default_rng(3)
+    B, n = 3, 96
+    G = rng.standard_normal((B, 2 * n, n)).astype(np.float32)
+    K = np.einsum("bij,bik->bjk", G, G) + n * np.eye(n, dtype=np.float32)
+    rhs = rng.standard_normal((B, n)).astype(np.float32)
+    Kd, rd = jnp.asarray(K), jnp.asarray(rhs)
+
+    def solve_one(Ki, ri):
+        L, Di = chol_factor(Ki)
+        return chol_solve(L, Di, ri)
+
+    xv = jax.vmap(solve_one)(Kd, rd)
+    for b in range(B):
+        xs = solve_one(Kd[b], rd[b])
+        assert np.allclose(np.asarray(xs), np.asarray(xv[b]), atol=1e-4)
+        r = K[b] @ np.asarray(xs) - rhs[b]
+        assert np.linalg.norm(r) / np.linalg.norm(rhs[b]) < 1e-4
