@@ -428,6 +428,105 @@ def _ruiz_equilibrate(c, G, h, A, b, iters=6):
             dr, dra, dc)
 
 
+def _np_slack(s, ml, mq):
+    """-max_step over an l/q cone layout: min margin to the boundary
+    (reference misc.max_step via coneprog.py:2965-2966)."""
+    vals = []
+    if ml:
+        vals.append(np.min(s[:ml]))
+    ofs = ml
+    for k in mq:
+        blk = s[ofs:ofs + k]
+        vals.append(blk[0] - np.linalg.norm(blk[1:]))
+        ofs += k
+    return float(min(vals)) if vals else None
+
+
+def _mosek_cone_result(solsta, x, z, y, c, G, h, A, b, ml, mq, P=None):
+    """Map a MOSEK bridge return (solsta, x, z, y) onto the reference's
+    solution dict, including residuals, slacks, and scaled infeasibility
+    certificates (reference coneprog.py:2923-3036 for lp, :4432-4560 for
+    qp, :3399-3520 for socp)."""
+    import mosek
+
+    c = np.asarray(c, dtype=float).reshape(-1)
+    h = np.asarray(h, dtype=float).reshape(-1)
+    Gm = np.asarray(G, dtype=float).reshape(len(h), -1)
+    m, n = Gm.shape
+    Am = (np.asarray(A, dtype=float).reshape(-1, n)
+          if A is not None else np.zeros((0, n)))
+    bv = (np.asarray(b, dtype=float).reshape(-1)
+          if b is not None else np.zeros(0))
+    Pm = (np.asarray(P, dtype=float).reshape(n, n)
+          if P is not None else None)
+    resx0 = max(1.0, np.linalg.norm(c))
+    resy0 = max(1.0, np.linalg.norm(bv))
+    resz0 = max(1.0, np.linalg.norm(h))
+    sol = dict.fromkeys((
+        "x", "s", "y", "z", "primal objective", "dual objective", "gap",
+        "relative gap", "primal infeasibility", "dual infeasibility",
+        "residual as primal infeasibility certificate",
+        "residual as dual infeasibility certificate",
+        "primal slack", "dual slack"))
+
+    near_opt = getattr(mosek.solsta, "near_optimal", None)
+    if solsta in (mosek.solsta.optimal, near_opt):
+        sol["status"] = ("optimal" if solsta is mosek.solsta.optimal
+                         else "near optimal")
+        xv = np.asarray(x, dtype=float).reshape(-1)
+        zv = np.asarray(z, dtype=float).reshape(-1)
+        yv = (np.asarray(y, dtype=float).reshape(-1)
+              if y is not None else np.zeros(0))
+        sv = h - Gm @ xv
+        quad = 0.5 * xv @ Pm @ xv if Pm is not None else 0.0
+        pcost = float(c @ xv + quad)
+        dcost = float(-h @ zv - bv @ yv - quad)
+        gap = float(sv @ zv)
+        rx = c + Gm.T @ zv + Am.T @ yv
+        if Pm is not None:
+            rx = rx + Pm @ xv
+        resx = np.linalg.norm(rx) / resx0
+        resy = np.linalg.norm(bv - Am @ xv) / resy0
+        resz = np.linalg.norm(Gm @ xv + sv - h) / resz0
+        sol.update({
+            "x": xv, "s": sv, "y": yv, "z": zv,
+            "primal objective": pcost, "dual objective": dcost,
+            "gap": gap,
+            "relative gap": (gap / -pcost if pcost < 0.0 else
+                             gap / dcost if dcost > 0.0 else None),
+            "primal infeasibility": float(max(resy, resz)),
+            "dual infeasibility": float(resx),
+            "primal slack": _np_slack(sv, ml, mq),
+            "dual slack": _np_slack(zv, ml, mq)})
+    elif solsta is mosek.solsta.prim_infeas_cer:
+        sol["status"] = "primal infeasible"
+        zv = np.asarray(z, dtype=float).reshape(-1)
+        yv = (np.asarray(y, dtype=float).reshape(-1)
+              if y is not None else np.zeros(0))
+        scal = 1.0 / (-h @ zv - bv @ yv)
+        zv, yv = zv * scal, yv * scal
+        sol.update({
+            "y": yv, "z": zv, "dual objective": 1.0,
+            "residual as primal infeasibility certificate": float(
+                np.linalg.norm(-Am.T @ yv - Gm.T @ zv) / resx0),
+            "dual slack": _np_slack(zv, ml, mq)})
+    elif solsta == mosek.solsta.dual_infeas_cer:
+        sol["status"] = "dual infeasible"
+        xv = np.asarray(x, dtype=float).reshape(-1)
+        xv = xv * (-1.0 / float(c @ xv))
+        sv = -Gm @ xv
+        resy = np.linalg.norm(Am @ xv) / resy0
+        resz = np.linalg.norm(Gm @ xv + sv) / resz0
+        sol.update({
+            "x": xv, "s": sv, "primal objective": -1.0,
+            "residual as dual infeasibility certificate": float(
+                max(resy, resz)),
+            "primal slack": _np_slack(sv, ml, mq)})
+    else:
+        sol["status"] = "unknown"
+    return sol
+
+
 def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
        dualstart=None, kktsolver=None, options=None):
     """LP: minimize c'x s.t. Gx <= h, Ax = b.  `solver` accepts None
@@ -442,9 +541,14 @@ def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
         return _osqp.qp_bridge(None, c, G, h, A, b, options=options)
     if solver == "mosek":
         from .. import msk
-        status, x = msk.lp(c, G, h, A, b, options=options)
-        return {"status": "optimal" if "optimal" in str(status).lower()
-                else "unknown", "x": x, "y": None, "z": None, "s": None}
+        opts = (options or {}).get("mosek")
+        if opts:
+            solsta, x, z, y = msk.lp(c, G, h, A, b, options=opts)
+        else:
+            solsta, x, z, y = msk.lp(c, G, h, A, b)
+        hv = np.asarray(h, dtype=float).reshape(-1)
+        return _mosek_cone_result(solsta, x, z, y, c, G, h, A, b,
+                                  len(hv), [])
     h = np.asarray(h, dtype=float).reshape(-1)
     if options and options.get("equilibrate"):
         # Ruiz presolve for badly scaled LPs (build-side option; see
@@ -478,7 +582,39 @@ def socp(c, Gl=None, hl=None, Gq=None, hq=None, A=None, b=None,
     (requires the mosek package), as the reference (coneprog.py:3363)."""
     if solver == "mosek":
         from .. import msk
-        return msk.socp(c, Gl, hl, Gq, hq, options=options)
+        opts = (options or {}).get("mosek")
+        if opts:
+            solsta, x, zl, zq = msk.socp(c, Gl, hl, Gq, hq, options=opts)
+        else:
+            solsta, x, zl, zq = msk.socp(c, Gl, hl, Gq, hq)
+        ml = 0 if hl is None else np.asarray(hl).size
+        mq = [np.asarray(hk).size for hk in (hq or [])]
+        Gfull = np.vstack(
+            ([np.asarray(Gl, dtype=float).reshape(ml, -1)] if ml else [])
+            + [np.asarray(Gk, dtype=float).reshape(mk, -1)
+               for Gk, mk in zip(Gq or [], mq)])
+        hfull = np.concatenate(
+            ([np.asarray(hl, dtype=float).reshape(-1)] if ml else [])
+            + [np.asarray(hk, dtype=float).reshape(-1) for hk in (hq or [])])
+        z = (np.concatenate([np.asarray(zl).reshape(-1)]
+                            + [np.asarray(zk).reshape(-1) for zk in zq])
+             if zl is not None else None)
+        sol = _mosek_cone_result(solsta, x, z, None, c, Gfull, hfull,
+                                 A, b, ml, mq)
+        # split the stacked s/z back into the socp natural form
+        # (reference coneprog.py:3470-3490)
+        for key, parts in (("s", ("sl", "sq")), ("z", ("zl", "zq"))):
+            v = sol.pop(key)
+            if v is None:
+                sol[parts[0]], sol[parts[1]] = None, None
+            else:
+                sol[parts[0]] = v[:ml]
+                blocks, ofs = [], ml
+                for k in mq:
+                    blocks.append(v[ofs:ofs + k])
+                    ofs += k
+                sol[parts[1]] = blocks
+        return sol
     c = np.asarray(c, dtype=float).reshape(-1)
     Gs, hs, ql = [], [], []
     l = 0

@@ -414,7 +414,15 @@ def qp(P, q, G=None, h=None, A=None, b=None, solver=None, initvals=None,
                 "s": None}
     if solver == "mosek":
         from .. import msk
-        return msk.qp(P, q, G, h, A, b, options=options)
+        from ._conelp import _mosek_cone_result
+        opts = (options or {}).get("mosek")
+        if opts:
+            solsta, x, z, y = msk.qp(P, q, G, h, A, b, options=opts)
+        else:
+            solsta, x, z, y = msk.qp(P, q, G, h, A, b)
+        ml = 0 if h is None else np.asarray(h).size
+        return _mosek_cone_result(solsta, x, z, y, q, G, h, A, b,
+                                  ml, [], P=P)
     if G is None and h is None:
         raise ValueError("qp requires inequality constraints G, h")
     h = np.asarray(h, dtype=float).reshape(-1)
