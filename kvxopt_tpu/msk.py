@@ -82,8 +82,14 @@ def _vec(v, name, m=None):
 
 
 def _rows(M):
-    return 0 if M is None else (M.size[0] if hasattr(M, "size")
-                                else np.asarray(M).shape[0])
+    # matrix/spmatrix expose cvxopt's `.size` tuple; numpy's `.size` is a
+    # scalar element count, so only trust tuple-valued sizes.
+    if M is None:
+        return 0
+    size = getattr(M, "size", None)
+    if isinstance(size, tuple):
+        return size[0]
+    return np.asarray(M).shape[0]
 
 
 def _input_columns(task, S):

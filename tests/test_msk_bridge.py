@@ -310,15 +310,15 @@ class TestMosekBridge(unittest.TestCase):
         from kvxopt_tpu import msk
         import kvxopt_tpu.solvers as solvers
         import mosek
-        # l (2) + s (2x2) cone problem
-        rng = np.random.default_rng(7)
-        n = 2
+        # l (2) + s (2x2) cone problem; maximizing x1+x2 keeps it bounded
+        # (the box rows only bound x from above) with the SDP block active
+        # at the optimum, so the dual s-block multiplier is nonzero.
         dims = {"l": 2, "q": [], "s": [2]}
         G = np.vstack([np.array([[1.0, 0.0], [0.0, 1.0]]),
                        np.array([[1.0, 0.0], [0.0, 0.5],
                                  [0.0, 0.5], [1.0, 1.0]])])
         h = np.array([2.0, 2.0, 3.0, 0.2, 0.2, 3.0])
-        c = np.array([1.0, 1.0])
+        c = np.array([-1.0, -1.0])
         ref = solvers.conelp(c, G, h, dims)
         solsta, x, z = msk.conelp(c, G, h, dims)
         self.assertIs(solsta, mosek.solsta.optimal)
