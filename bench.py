@@ -95,16 +95,120 @@ def cpu_seconds_per_batch():
     return (time.perf_counter() - t0) / reps
 
 
+IPM_B, IPM_N, IPM_M = 64, 16, 32  # batched coneqp workload (f64 state)
+
+
+def _ipm_problem(seed=0):
+    rng = np.random.default_rng(seed)
+    Ps = np.zeros((IPM_B, IPM_N, IPM_N)); qs = np.zeros((IPM_B, IPM_N))
+    Gs = np.zeros((IPM_B, IPM_M, IPM_N)); hs = np.zeros((IPM_B, IPM_M))
+    for i in range(IPM_B):
+        M = rng.standard_normal((IPM_N, IPM_N))
+        Ps[i] = M @ M.T + IPM_N * np.eye(IPM_N)
+        qs[i] = rng.standard_normal(IPM_N)
+        Gs[i] = rng.standard_normal((IPM_M, IPM_N))
+        hs[i] = Gs[i] @ rng.standard_normal(IPM_N) + rng.uniform(
+            0.5, 1.5, IPM_M)
+    return Ps, qs, Gs, hs
+
+
+def ipm_metrics():
+    """North-star IPM metrics (BASELINE.json): complete batched coneqp
+    solves/s at reference tolerances (abstol 1e-7), IPM iterations/s, and
+    ms per IPM iteration (one KKT factorize + 2 predictor/corrector
+    solves with refinement)."""
+    import jax
+    import jax.numpy as jnp
+    from kvxopt_tpu.cones import ConeDims
+    from kvxopt_tpu.parallel import batched_qp_solver
+
+    vsolve = batched_qp_solver(ConeDims(l=IPM_M))
+    Ps, qs, Gs, hs = _ipm_problem(int.from_bytes(os.urandom(4), "little"))
+    args = tuple(jnp.asarray(a, jnp.float64) for a in (Ps, qs, Gs, hs))
+    out = vsolve(*args)          # compile
+    out[0].block_until_ready()
+    n_opt = int((np.asarray(out[5]) == 1).sum())
+    iters = np.asarray(out[4]) - 1
+    ts = []
+    for rep in range(5):
+        Ps2, qs2, Gs2, hs2 = _ipm_problem(rep + 1)
+        a2 = tuple(jnp.asarray(a, jnp.float64)
+                   for a in (Ps2, qs2, Gs2, hs2))
+        t0 = time.perf_counter()
+        o2 = vsolve(*a2)
+        o2[0].block_until_ready()
+        ts.append(time.perf_counter() - t0)
+        iters = np.asarray(o2[4]) - 1
+    t = sorted(ts)[len(ts) // 2]
+    mean_iters = float(iters.mean())
+    return {
+        "workload": f"coneqp batch B={IPM_B} n={IPM_N} m={IPM_M} f64, "
+                    "abstol 1e-7",
+        "solves_per_s": round(IPM_B / t, 1),
+        "ipm_iters_per_s": round(IPM_B * mean_iters / t, 1),
+        "ms_per_ipm_iter_per_problem": round(
+            1e3 * t / (IPM_B * mean_iters), 4),
+        "mean_iterations": round(mean_iters, 2),
+        "optimal_fraction": round(n_opt / IPM_B, 3),
+    }
+
+
+def cpu_ipm_baseline():
+    """The same batched-coneqp program on the host CPU backend (the
+    reference's execution model is CPU LAPACK; this is the matched-accuracy
+    CPU stand-in, run in a subprocess so the TPU backend stays live)."""
+    import subprocess
+    import sys
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import json,time\n"
+        "import numpy as np\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "jax.config.update('jax_enable_x64',True)\n"
+        "import jax.numpy as jnp\n"
+        "import bench\n"
+        "from kvxopt_tpu.cones import ConeDims\n"
+        "from kvxopt_tpu.parallel import batched_qp_solver\n"
+        "vs = batched_qp_solver(ConeDims(l=bench.IPM_M))\n"
+        "P,q,G,h = bench._ipm_problem(0)\n"
+        "a = tuple(jnp.asarray(x) for x in (P,q,G,h))\n"
+        "o = vs(*a); o[0].block_until_ready()\n"
+        "ts=[]\n"
+        "for r in range(3):\n"
+        "    P,q,G,h = bench._ipm_problem(r+1)\n"
+        "    a = tuple(jnp.asarray(x) for x in (P,q,G,h))\n"
+        "    t0=time.perf_counter(); o=vs(*a); o[0].block_until_ready()\n"
+        "    ts.append(time.perf_counter()-t0)\n"
+        "print(json.dumps({'t': sorted(ts)[1]}))\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)["t"]
+    except Exception:
+        return None
+
+
 def main():
     tpu_time = tpu_seconds_per_batch()
     cpu_time = cpu_seconds_per_batch()
     tpu_thr = B / tpu_time
     cpu_thr = B / cpu_time
+    ipm = ipm_metrics()
+    cpu_t = cpu_ipm_baseline()
+    if cpu_t:
+        ipm["cpu_solves_per_s"] = round(IPM_B / cpu_t, 1)
+        ipm["vs_cpu"] = round(ipm["solves_per_s"] / (IPM_B / cpu_t), 2)
     print(json.dumps({
         "metric": f"batched KKT factorize+solve throughput (n={N}, B={B})",
         "value": round(tpu_thr, 2),
         "unit": "factorizations/s",
         "vs_baseline": round(tpu_thr / cpu_thr, 2),
+        "ipm": ipm,
     }))
 
 

@@ -34,11 +34,15 @@ from .. import cones, kkt
 from ..cones import ConeDims
 from .coneprog import (
     RUNNING, OPTIMAL, UNKNOWN, PRIMAL_INFEASIBLE, DUAL_INFEASIBLE, SINGULAR,
-    _STATUS_STR, STEP, EXPON, Options, _resolve_options, _asarray, _relgap)
+    _STATUS_STR, STEP, EXPON, Options, _resolve_options, _asarray, _relgap,
+    VecOps, DEFAULT_VECOPS, _make_vecops, _tree_select, _tree_scal,
+    _tree_dot)
 
 
 def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
-           dualstart=None, kktsolver=None, options=None):
+           dualstart=None, kktsolver=None, options=None, xnewcopy=None,
+           xdot=None, xscal=None, xaxpy=None, ynewcopy=None, ydot=None,
+           yscal=None, yaxpy=None):
     """Solve the cone LP pair (reference coneprog.py:31)
 
         minimize  c'x                 maximize  -h'z - b'y
@@ -50,25 +54,50 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     certificates: on 'primal infeasible', (y, z) certify h'z + b'y = -1,
     G'z + A'y = 0, z >= 0; on 'dual infeasible', (x, s) certify c'x = -1,
     Gx + s = 0, Ax = 0, s >= 0.
+
+    Custom vector spaces (reference coneprog.py:378-402): passing any of
+    xnewcopy/xdot/xscal/xaxpy (resp. the y* variants) makes x and c (resp.
+    y and b) abstract pytrees; G (and A) must then be operators and
+    kktsolver a custom factor.  Hooks are pure jax-traceable functions —
+    see `solvers.coneqp` for the exact functional signatures.
     """
     o, dtype, merged = _resolve_options(options)
-    c = _asarray(c, dtype, name="c")
-    n = c.shape[0]
+    custom_x = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy))
+    custom_y = any(f is not None for f in (ynewcopy, ydot, yscal, yaxpy))
+    xops = _make_vecops(xnewcopy, xdot, xscal, xaxpy)
+    yops = _make_vecops(ynewcopy, ydot, yscal, yaxpy)
+    if custom_x and not (callable(G) and callable(kktsolver)):
+        raise ValueError("custom x vector space requires operator-form G "
+                         "and a custom kktsolver")
+    if custom_y and not (A is not None and callable(A) and b is not None):
+        raise ValueError("custom y vector space requires operator-form A "
+                         "and b")
+
+    if not custom_x:
+        c = _asarray(c, dtype, name="c")
+        n = c.shape[0]
+    else:
+        n = None
     if dims is None:
         dims = ConeDims(l=int(np.asarray(h).size))
     dims = ConeDims.from_dict(dims)
     if dims.degree == 0:
         raise ValueError("the cone must be nonempty")
     h = _asarray(h, dtype, shape=(dims.size,), name="h")
-    b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
-        (0,), dtype)
+    has_y = 1
+    if not custom_y:
+        b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
+            (0,), dtype)
+        has_y = b.shape[0]
 
     G_is_op = callable(G)
     A_is_op = A is not None and callable(A)
     Ga = None if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
                                        name="G")
-    Aa = (jnp.zeros((0, n), dtype) if A is None
-          else (None if A_is_op else _asarray(A, dtype, name="A")))
+    Aa = None
+    if not A_is_op:
+        Aa = (jnp.zeros((0, n), dtype) if A is None and n is not None
+              else _asarray(A, dtype, name="A"))
 
     if kktsolver is None:
         kktsolver = "qr" if (dims.q or dims.s) else "chol2"
@@ -87,40 +116,53 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
 
     ps = None
     if primalstart is not None:
-        ps = (_asarray(primalstart["x"], dtype),
-              _asarray(primalstart["s"], dtype))
+        px = (primalstart["x"] if custom_x
+              else _asarray(primalstart["x"], dtype))
+        ps = (px, _asarray(primalstart["s"], dtype))
     dst = None
     if dualstart is not None:
-        dst = (_asarray(dualstart.get("y"), dtype)
-               if dualstart.get("y") is not None else jnp.zeros((0,), dtype),
-               _asarray(dualstart["z"], dtype))
+        if custom_y:
+            dy = dualstart.get("y")
+        else:
+            dy = (_asarray(dualstart.get("y"), dtype)
+                  if dualstart.get("y") is not None
+                  else jnp.zeros((0,), dtype))
+        dst = (dy, _asarray(dualstart["z"], dtype))
 
     o = o.resolve_refinement(dims)
     # fast path: standard array inputs reuse a cached jitted solver (no
     # retracing on repeated same-shape solves)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)
-            and ps is None and dst is None):
+            and ps is None and dst is None and not (custom_x or custom_y)):
         from .coneprog import _cached_lp_solver
         solve_fn = _cached_lp_solver(dims, kktsolver, o)
         state = solve_fn(c, Ga, h, Aa, b)
         return _conelp_result(state, c, h, b, dims)
 
     state = _conelp_core(c, Ga, h, Aa, b, dims, o, factor, gmv, amv,
-                         dtype, ps, dst)
-    return _conelp_result(state, c, h, b, dims)
+                         dtype, ps, dst, xops=xops, yops=yops,
+                         has_y=(has_y if (custom_x or custom_y) else None))
+    return _conelp_result(state, c, h, b, dims,
+                          xops=xops, yops=yops,
+                          has_y=(has_y if (custom_x or custom_y) else None))
 
 
 def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
-                 dtype, primalstart, dualstart):
+                 dtype, primalstart, dualstart,
+                 xops: VecOps = DEFAULT_VECOPS,
+                 yops: VecOps = DEFAULT_VECOPS, has_y=None):
     """Pure, jit-traceable conelp driver: the self-dual-embedding IPM as
-    one lax.while_loop; returns the final state arrays (no host syncs)."""
-    n = c.shape[0]
-    p = b.shape[0]
+    one lax.while_loop; returns the final state arrays (no host syncs).
+
+    x and y live in abstract vector spaces given by `xops`/`yops`
+    (reference coneprog.py:378-402); the defaults handle arrays and
+    arbitrary pytrees."""
+    p = has_y if has_y is not None else b.shape[0]
     deg = dims.degree
     e = cones.cone_e(dims, dtype)
 
-    resx0 = jnp.maximum(1.0, jnp.linalg.norm(c))
-    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b)) if p else jnp.asarray(
+    resx0 = jnp.maximum(1.0, xops.norm(c))
+    resy0 = jnp.maximum(1.0, yops.norm(b)) if p else jnp.asarray(
         1.0, dtype)
     resz0 = jnp.maximum(1.0, cones.snrm2(dims, h))
 
@@ -128,7 +170,7 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
         W0 = cones.identity_scaling(dims, dtype)
         solve0 = factor(W0)
         if primalstart is None:
-            x0, _, z0 = solve0(jnp.zeros((n,), dtype), b, h)
+            x0, _, z0 = solve0(xops.zero(c), b, h)
             s0 = -z0
             ts = cones.max_step(dims, s0)
             s0 = jnp.where(ts >= -1e-8 * jnp.maximum(1.0, jnp.abs(ts)),
@@ -136,7 +178,7 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
         else:
             x0, s0 = primalstart
         if dualstart is None:
-            x1, y0, z0 = solve0(-c, jnp.zeros((p,), dtype),
+            x1, y0, z0 = solve0(xops.scal(-1.0, c), yops.zero(b),
                                 jnp.zeros((dims.size,), dtype))
             tz = cones.max_step(dims, z0)
             z0 = jnp.where(tz >= -1e-8 * jnp.maximum(1.0, jnp.abs(tz)),
@@ -146,35 +188,41 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
         return x0, y0, s0, z0
 
     def residuals(x, y, s, z, tau, kappa):
-        rx = gmv(z, trans=True) + (amv(y, trans=True) if p else 0.0) + c * tau
-        ry = amv(x) - b * tau if p else jnp.zeros((0,), dtype)
+        # rx = G'z + A'y + tau c   (x-space)
+        rx = xops.axpy(gmv(z, trans=True), xops.scal(tau, c))
+        if p:
+            rx = xops.axpy(amv(y, trans=True), rx)
+        # ry = A x - tau b          (y-space)
+        ry = yops.axpy(b, amv(x), -tau) if p else b
         rz = gmv(x) + s - h * tau
-        rt = kappa + jnp.dot(c, x) + (jnp.dot(b, y) if p else 0.0) + \
+        rt = kappa + xops.dot(c, x) + (yops.dot(b, y) if p else 0.0) + \
             cones.sdot(dims, h, z)
         return rx, ry, rz, rt
 
     def metrics_of(x, y, s, z, tau, kappa):
         rx, ry, rz, rt = residuals(x, y, s, z, tau, kappa)
         gap = cones.sdot(dims, s, z) / (tau * tau)
-        pcost = jnp.dot(c, x) / tau
+        pcost = xops.dot(c, x) / tau
         dcost = -(cones.sdot(dims, h, z) +
-                  (jnp.dot(b, y) if p else 0.0)) / tau
+                  (yops.dot(b, y) if p else 0.0)) / tau
         pres = jnp.maximum(
-            (jnp.linalg.norm(ry) / resy0 if p else 0.0),
+            (yops.norm(ry) / resy0 if p else 0.0),
             cones.snrm2(dims, rz) / resz0) / tau
-        dres = jnp.linalg.norm(rx) / resx0 / tau
+        dres = xops.norm(rx) / resx0 / tau
         # infeasibility certificates
-        hz_by = cones.sdot(dims, h, z) + (jnp.dot(b, y) if p else 0.0)
-        cx = jnp.dot(c, x)
+        hz_by = cones.sdot(dims, h, z) + (yops.dot(b, y) if p else 0.0)
+        cx = xops.dot(c, x)
         # || G'z + A'y || / resx0 scaled by -1/(h'z+b'y) when h'z+b'y < 0
-        hrx = gmv(z, trans=True) + (amv(y, trans=True) if p else 0.0)
+        hrx = gmv(z, trans=True)
+        if p:
+            hrx = xops.axpy(amv(y, trans=True), hrx)
         pinfres = jnp.where(
-            hz_by < 0.0, jnp.linalg.norm(hrx) / resx0 / (-hz_by), jnp.inf)
-        hry = amv(x) if p else jnp.zeros((0,), dtype)
+            hz_by < 0.0, xops.norm(hrx) / resx0 / (-hz_by), jnp.inf)
+        hry = amv(x) if p else b
         hrz = gmv(x) + s
         dinfres = jnp.where(
             cx < 0.0,
-            jnp.maximum(jnp.linalg.norm(hry) / resy0 if p else 0.0,
+            jnp.maximum(yops.norm(hry) / resy0 if p else 0.0,
                         cones.snrm2(dims, hrz) / resz0) / (-cx),
             jnp.inf)
         return (rx, ry, rz, rt,
@@ -185,8 +233,8 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
 
     def f6_factory(solve, lmbda, W, tau, kappa):
         # (x1,y1,z1) = K^{-1}(-c, b, h), once per factorization
-        x1, y1, z1 = solve(-c, b, h)
-        dg = jnp.dot(c, x1) + (jnp.dot(b, y1) if p else 0.0) + \
+        x1, y1, z1 = solve(xops.scal(-1.0, c), b, h)
+        dg = xops.dot(c, x1) + (yops.dot(b, y1) if p else 0.0) + \
             cones.sdot(dims, h, z1) - kappa / tau
 
         def f6_no_ir(bx, by, bz, bt, d_s, d_k):
@@ -194,11 +242,12 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
             bzt = bz - cones.scale(dims, W, tmp, trans=True)
             xt, yt, zt = solve(bx, by, bzt)
             btt = bt - d_k / tau
-            num = btt - (jnp.dot(c, xt) + (jnp.dot(b, yt) if p else 0.0) +
+            num = btt - (xops.dot(c, xt) +
+                         (yops.dot(b, yt) if p else 0.0) +
                          cones.sdot(dims, h, zt))
             dtau = num / dg
-            dx = xt + dtau * x1
-            dy = yt + dtau * y1
+            dx = xops.axpy(x1, xt, dtau)
+            dy = yops.axpy(y1, yt, dtau) if p else yt
             dz = zt + dtau * z1
             ds = cones.scale(dims, W,
                              tmp - cones.scale(dims, W, dz), trans=True)
@@ -208,12 +257,19 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
         def f6(bx, by, bz, bt, d_s, d_k):
             dx, dy, dz, dtau, ds, dk = f6_no_ir(bx, by, bz, bt, d_s, d_k)
             for _ in range(o.refinement):
-                r1 = bx - (gmv(dz, trans=True) +
-                           (amv(dy, trans=True) if p else 0.0) + c * dtau)
-                r2 = by - (amv(dx) - b * dtau) if p else jnp.zeros((0,),
-                                                                  dtype)
+                # r1 = bx - (G'dz + A'dy + dtau c)
+                t = xops.axpy(gmv(dz, trans=True), xops.scal(dtau, c))
+                if p:
+                    t = xops.axpy(amv(dy, trans=True), t)
+                r1 = xops.axpy(t, bx, -1.0)
+                # r2 = by - (A dx - dtau b)
+                if p:
+                    r2 = yops.axpy(yops.axpy(b, amv(dx), -dtau), by, -1.0)
+                else:
+                    r2 = by
                 r3 = bz - (gmv(dx) + ds - h * dtau)
-                r4 = bt - (jnp.dot(c, dx) + (jnp.dot(b, dy) if p else 0.0) +
+                r4 = bt - (xops.dot(c, dx) +
+                           (yops.dot(b, dy) if p else 0.0) +
                            cones.sdot(dims, h, dz) + dk)
                 r5 = d_s - cones.sprod(
                     dims, lmbda,
@@ -221,7 +277,9 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
                     cones.scale(dims, W, dz), diag=True)
                 r6 = d_k - (kappa * dtau + tau * dk)
                 ex, ey, ez, et, es, ek = f6_no_ir(r1, r2, r3, r4, r5, r6)
-                dx, dy, dz = dx + ex, dy + ey, dz + ez
+                dx = xops.axpy(ex, dx)
+                dy = yops.axpy(ey, dy) if p else dy
+                dz = dz + ez
                 dtau, ds, dk = dtau + et, ds + es, dk + ek
             return dx, dy, dz, dtau, ds, dk
 
@@ -258,7 +316,8 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
 
             # affine direction: sigma = 0, full residual rhs
             dxa, dya, dza, dta, dsa, dka = f6(
-                -rx, -ry, -rz, -rt, -lmbdasq, -tau * kappa)
+                xops.scal(-1.0, rx), yops.scal(-1.0, ry), -rz, -rt,
+                -lmbdasq, -tau * kappa)
             dsa_w = cones.scale(dims, W, dsa, trans=True, inverse=True)
             dza_w = cones.scale(dims, W, dza)
             t_cone = 1.0 / jnp.maximum(_inv_step(dims, lmbda, dsa_w, dza_w),
@@ -273,7 +332,8 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
             d_k = -tau * kappa - dta * dka + sigma * mu
             r = 1.0 - sigma
             dx, dy, dz, dt, ds, dk = f6(
-                -r * rx, -r * ry, -r * rz, -r * rt, d_s, d_k)
+                xops.scal(-r, rx), yops.scal(-r, ry), -r * rz, -r * rt,
+                d_s, d_k)
             ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
             dz_w = cones.scale(dims, W, dz)
             t_cone = 1.0 / jnp.maximum(_inv_step(dims, lmbda, ds_w, dz_w),
@@ -281,13 +341,14 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
             step = STEP * jnp.minimum(t_cone, _tk_step(tau, kappa, dt, dk))
             step = jnp.minimum(step, 1.0)
 
-            xn, yn = x + step * dx, y + step * dy
+            xn = xops.axpy(dx, x, step)
+            yn = yops.axpy(dy, y, step) if p else y
             sn, zn = s + step * ds, z + step * dz
             tn, kn = tau + step * dt, kappa + step * dk
-            bad = ~jnp.isfinite(jnp.dot(xn, xn) + jnp.dot(sn, sn) +
+            bad = ~jnp.isfinite(xops.dot(xn, xn) + jnp.dot(sn, sn) +
                                 jnp.dot(zn, zn) + tn + kn) | (tn <= 0)
             st = jnp.where(bad, jnp.int32(SINGULAR), jnp.int32(RUNNING))
-            pick = lambda new, old: jnp.where(bad, old, new)
+            pick = lambda new, old: _tree_select(bad, old, new)
             return (pick(xn, x), pick(yn, y), pick(sn, s), pick(zn, z),
                     pick(tn, tau), pick(kn, kappa), st)
 
@@ -314,11 +375,12 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
     return jax.lax.while_loop(cond, body, carry0)
 
 
-def _conelp_result(state, c, h, b, dims):
+def _conelp_result(state, c, h, b, dims, xops: VecOps = DEFAULT_VECOPS,
+                   yops: VecOps = DEFAULT_VECOPS, has_y=None):
     """Host-side conversion of the final state into the reference's
     result dict (certificate scaling, status strings)."""
     x, y, s, z, tau, kappa, it, status, m = state
-    p = b.shape[0]
+    p = has_y if has_y is not None else b.shape[0]
     status = int(status)
     iterations = int(it) - 1
 
@@ -342,9 +404,10 @@ def _conelp_result(state, c, h, b, dims):
     }
     if status == PRIMAL_INFEASIBLE:
         hz_by = float(cones.sdot(dims, h, z) +
-                      (jnp.dot(b, y) if p else 0.0))
+                      (yops.dot(b, y) if p else 0.0))
         scale_cert = -1.0 / hz_by
-        res.update(x=None, s=None, y=y * scale_cert, z=z * scale_cert)
+        res.update(x=None, s=None, y=yops.scal(scale_cert, y),
+                   z=z * scale_cert)
         metrics.update({"primal objective": None, "gap": None,
                         "relative gap": None,
                         "dual objective": 1.0,
@@ -354,9 +417,10 @@ def _conelp_result(state, c, h, b, dims):
                         "dual slack": -float(cones.max_step(
                             dims, z * scale_cert))})
     elif status == DUAL_INFEASIBLE:
-        cx = float(jnp.dot(c, x))
+        cx = float(xops.dot(c, x))
         scale_cert = -1.0 / cx
-        res.update(x=x * scale_cert, s=s * scale_cert, y=None, z=None)
+        res.update(x=xops.scal(scale_cert, x), s=s * scale_cert, y=None,
+                   z=None)
         metrics.update({"dual objective": None, "gap": None,
                         "relative gap": None,
                         "primal objective": -1.0,
@@ -367,7 +431,8 @@ def _conelp_result(state, c, h, b, dims):
                             dims, s * scale_cert))})
     else:
         tauf = float(tau)
-        res.update(x=x / tauf, s=s / tauf, y=y / tauf, z=z / tauf)
+        res.update(x=xops.scal(1.0 / tauf, x), s=s / tauf,
+                   y=yops.scal(1.0 / tauf, y), z=z / tauf)
         metrics["primal slack"] = -float(cones.max_step(dims, s)) / tauf
         metrics["dual slack"] = -float(cones.max_step(dims, z)) / tauf
     res.update(metrics)
@@ -440,6 +505,64 @@ def _np_slack(s, ml, mq):
         vals.append(blk[0] - np.linalg.norm(blk[1:]))
         ofs += k
     return float(min(vals)) if vals else None
+
+
+def _bridge_cone_result(status, x, z, y, c, G, h, A, b, ml, mq, P=None):
+    """Map a generic bridge return (status string, x, z, y) onto the
+    reference's solution dict — the shared result math of the reference's
+    external-solver dispatch (coneprog.py:4427-4560, same computations for
+    gurobi as for mosek)."""
+    c = np.asarray(c, dtype=float).reshape(-1)
+    h = (np.asarray(h, dtype=float).reshape(-1) if h is not None
+         else np.zeros(0))
+    Gm = (np.asarray(G, dtype=float).reshape(len(h), -1) if G is not None
+          else np.zeros((0, len(c))))
+    n = len(c)
+    Am = (np.asarray(A, dtype=float).reshape(-1, n)
+          if A is not None else np.zeros((0, n)))
+    bv = (np.asarray(b, dtype=float).reshape(-1)
+          if b is not None else np.zeros(0))
+    Pm = (np.asarray(P, dtype=float).reshape(n, n)
+          if P is not None else None)
+    resx0 = max(1.0, np.linalg.norm(c))
+    resy0 = max(1.0, np.linalg.norm(bv))
+    resz0 = max(1.0, np.linalg.norm(h))
+    sol = dict.fromkeys((
+        "x", "s", "y", "z", "primal objective", "dual objective", "gap",
+        "relative gap", "primal infeasibility", "dual infeasibility",
+        "residual as primal infeasibility certificate",
+        "residual as dual infeasibility certificate",
+        "primal slack", "dual slack"))
+    sol["status"] = status
+    if status != "optimal" or x is None:
+        return sol
+    xv = np.asarray(x, dtype=float).reshape(-1)
+    zv = (np.asarray(z, dtype=float).reshape(-1) if z is not None
+          else np.zeros(len(h)))
+    yv = (np.asarray(y, dtype=float).reshape(-1) if y is not None
+          else np.zeros(Am.shape[0]))
+    sv = h - Gm @ xv
+    quad = 0.5 * xv @ Pm @ xv if Pm is not None else 0.0
+    pcost = float(c @ xv + quad)
+    dcost = float(-h @ zv - bv @ yv - quad)
+    gap = float(sv @ zv)
+    rx = c + Gm.T @ zv + Am.T @ yv
+    if Pm is not None:
+        rx = rx + Pm @ xv
+    resx = np.linalg.norm(rx) / resx0
+    resy = np.linalg.norm(bv - Am @ xv) / resy0
+    resz = np.linalg.norm(Gm @ xv + sv - h) / resz0
+    sol.update({
+        "x": xv, "s": sv, "y": yv, "z": zv,
+        "primal objective": pcost, "dual objective": dcost,
+        "gap": gap,
+        "relative gap": (gap / -pcost if pcost < 0.0 else
+                         gap / dcost if dcost > 0.0 else None),
+        "primal infeasibility": float(max(resy, resz)),
+        "dual infeasibility": float(resx),
+        "primal slack": _np_slack(sv, ml, mq),
+        "dual slack": _np_slack(zv, ml, mq)})
+    return sol
 
 
 def _mosek_cone_result(solsta, x, z, y, c, G, h, A, b, ml, mq, P=None):
@@ -539,6 +662,13 @@ def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
     if solver == "osqp":
         from .. import osqp as _osqp
         return _osqp.qp_bridge(None, c, G, h, A, b, options=options)
+    if solver == "gurobi":
+        # reference coneprog.py:2834-2845: LP through gurobi.qp with P=None
+        from .. import gurobi as _gurobi
+        opts = (options or {}).get("gurobi")
+        status, x, z, y = _gurobi.qp(c, G, h, A, b, None, options=opts)
+        ml = np.asarray(h).size
+        return _bridge_cone_result(status, x, z, y, c, G, h, A, b, ml, [])
     if solver == "mosek":
         from .. import msk
         opts = (options or {}).get("mosek")

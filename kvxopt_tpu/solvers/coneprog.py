@@ -121,6 +121,79 @@ def _relgap(gap, pcost, dcost):
         jnp.where(dcost > 0.0, gap / dcost, jnp.inf))
 
 
+# ---------------------------------------------------------------------------
+# Custom vector spaces (the reference's third customization level,
+# coneprog.py:378-402: xnewcopy/xdot/xscal/xaxpy and the y* variants).
+#
+# TPU-native rendering: a vector-space element is any JAX *pytree* (array,
+# dict/list/tuple of arrays, nested) — the JAX-native notion of "arbitrary
+# Python objects" that can cross a lax.while_loop.  The default hooks below
+# are pytree-generic, so structured x/y spaces work out of the box with an
+# operator-form G/A and a custom kktsolver; the hooks can be overridden for
+# exotic inner products.  Unlike the reference's in-place semantics, hooks
+# are pure functions (xscal returns the scaled vector, xaxpy returns
+# alpha*u + v); they must be jax-traceable.
+# ---------------------------------------------------------------------------
+
+
+def _tree_dot(u, v):
+    lu = jax.tree_util.tree_leaves(u)
+    lv = jax.tree_util.tree_leaves(v)
+    s = 0.0
+    for a, b in zip(lu, lv):
+        s = s + jnp.vdot(a, b)
+    return s
+
+
+def _tree_scal(alpha, u):
+    return jax.tree_util.tree_map(lambda a: alpha * a, u)
+
+
+def _tree_axpy(u, v, alpha=1.0):
+    return jax.tree_util.tree_map(lambda a, b: alpha * a + b, u, v)
+
+
+def _tree_select(flag, u_true, u_false):
+    """Elementwise select over a pytree (flag is a traced boolean)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(flag, a, b), u_true, u_false)
+
+
+class VecOps(NamedTuple):
+    """Inner-product-space operations for one variable block (x or y).
+
+    Functional equivalents of the reference's xnewcopy/xdot/xscal/xaxpy
+    contract (reference coneprog.py:378-402); defaults handle any pytree.
+    """
+
+    dot: object = _tree_dot
+    scal: object = _tree_scal
+    axpy: object = _tree_axpy
+    copy: object = lambda u: u  # immutable pytrees: identity is a copy
+
+    def norm(self, u):
+        return jnp.sqrt(jnp.maximum(self.dot(u, u), 0.0))
+
+    def zero(self, like):
+        return jax.tree_util.tree_map(jnp.zeros_like, like)
+
+
+def _make_vecops(newcopy, dot, scal, axpy):
+    kw = {}
+    if dot is not None:
+        kw["dot"] = dot
+    if scal is not None:
+        kw["scal"] = scal
+    if axpy is not None:
+        kw["axpy"] = axpy
+    if newcopy is not None:
+        kw["copy"] = newcopy
+    return VecOps(**kw)
+
+
+DEFAULT_VECOPS = VecOps()
+
+
 def _max_feasible_step(dims, lmbda, ds_w, dz_w, limit):
     """Largest step a with s + a ds, z + a dz in the cone, given the
     W-scaled directions ds_w = W^{-T}ds, dz_w = W dz, capped at `limit` and
@@ -137,7 +210,9 @@ def _max_feasible_step(dims, lmbda, ds_w, dz_w, limit):
 
 
 def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
-           kktsolver=None, options=None):
+           kktsolver=None, options=None, xnewcopy=None, xdot=None,
+           xscal=None, xaxpy=None, ynewcopy=None, ydot=None, yscal=None,
+           yaxpy=None):
     """Solve the cone QP
 
         minimize    (1/2) x'Px + q'x
@@ -152,10 +227,38 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     a custom `kktsolver` callable factor(W, H=None, Df=None) -> solve is
     supported exactly like the reference's customization contract
     (coneprog.py:286-402).
+
+    Custom vector spaces (the reference's third customization level,
+    coneprog.py:378-402): passing any of xnewcopy/xdot/xscal/xaxpy makes x
+    (and q) an abstract pytree; P, G (and A, if present) must then be
+    operators and `kktsolver` a custom factor.  Unspecified hooks default
+    to pytree-generic implementations; user hooks must be pure,
+    jax-traceable functions — xscal(a, u) -> a*u, xaxpy(u, v, alpha) ->
+    alpha*u + v, xdot(u, v) -> scalar (functional, not in-place).  The y*
+    variants do the same for the equality-constraint space.
     """
     o, dtype, merged = _resolve_options(options)
-    q = _asarray(q, dtype, name="q")
-    n = q.shape[0]
+    custom_x = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy))
+    custom_y = any(f is not None for f in (ynewcopy, ydot, yscal, yaxpy))
+    xops = _make_vecops(xnewcopy, xdot, xscal, xaxpy)
+    yops = _make_vecops(ynewcopy, ydot, yscal, yaxpy)
+    if custom_x:
+        if not (callable(G) and callable(P)):
+            raise ValueError("custom x vector space requires operator-form "
+                             "P and G")
+        if not callable(kktsolver):
+            raise ValueError("custom x vector space requires a custom "
+                             "kktsolver")
+    if custom_y and A is None:
+        raise ValueError("custom y vector space requires A")
+    if custom_y and not callable(A):
+        raise ValueError("custom y vector space requires operator-form A")
+
+    if not custom_x:
+        q = _asarray(q, dtype, name="q")
+        n = q.shape[0]
+    else:
+        n = None
     if G is None and dims is None:
         raise ValueError("G and dims required (use a pure QP via A only is "
                          "not supported without inequalities)")
@@ -165,16 +268,22 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     if dims.degree == 0:
         raise ValueError("the cone must be nonempty")
     h = _asarray(h, dtype, shape=(dims.size,), name="h")
-    b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
-        (0,), dtype)
+    if not custom_y:
+        b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
+            (0,), dtype)
+        has_y = b.shape[0]
+    else:
+        has_y = 1
 
     G_is_op = callable(G)
     A_is_op = A is not None and callable(A)
     P_is_op = callable(P)
     Ga = None if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
                                        name="G")
-    Aa = (jnp.zeros((0, n), dtype) if A is None
-          else (None if A_is_op else _asarray(A, dtype, name="A")))
+    Aa = None
+    if not A_is_op:
+        Aa = (jnp.zeros((0, n), dtype) if A is None and n is not None
+              else _asarray(A, dtype, name="A"))
     Pa = None if P_is_op else _asarray(P, dtype, shape=(n, n), name="P")
 
     if kktsolver is None:
@@ -198,7 +307,7 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     # CPU solves analogue)
     o = o.resolve_refinement(dims)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
-            and initvals is None):
+            and initvals is None and not (custom_x or custom_y)):
         solve_fn = _cached_qp_solver(dims, kktsolver, o)
         Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
         state = solve_fn(Pz, q, Ga, h, Aa, b)
@@ -212,16 +321,29 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
         # partial initvals get the reference's defaults (coneprog.py:1441
         # initvals): x/y zero, s/z the cone identity
         e0 = cones.cone_e(dims, dtype)
-        defaults = {"x": jnp.zeros((n,), dtype),
-                    "y": jnp.zeros((b.shape[0],), dtype),
-                    "s": e0, "z": e0}
-        init = tuple(
-            _asarray(initvals[k], dtype) if initvals.get(k) is not None
-            else defaults[k]
-            for k in ("x", "y", "s", "z"))
+        if custom_x or custom_y:
+            if any(initvals.get(k) is None for k in ("x", "y")):
+                raise ValueError("custom vector spaces require complete "
+                                 "initvals")
+            init = (initvals["x"], initvals["y"],
+                    _asarray(initvals.get("s"), dtype) if initvals.get("s")
+                    is not None else e0,
+                    _asarray(initvals.get("z"), dtype) if initvals.get("z")
+                    is not None else e0)
+        else:
+            defaults = {"x": jnp.zeros((n,), dtype),
+                        "y": jnp.zeros((b.shape[0],), dtype),
+                        "s": e0, "z": e0}
+            init = tuple(
+                _asarray(initvals[k], dtype) if initvals.get(k) is not None
+                else defaults[k]
+                for k in ("x", "y", "s", "z"))
 
+    if custom_y and b is None:
+        raise ValueError("custom y vector space requires b")
     state = _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o, factor,
-                         gmv, amv, pmv, dtype)
+                         gmv, amv, pmv, dtype, xops=xops, yops=yops,
+                         has_y=(has_y if (custom_x or custom_y) else None))
     (x, y, s, z, it, status, m) = state
     metrics = _qp_metrics_dict(dims, m, s, z)
     return _result_dict(int(status), x, y, s, z, dims, metrics,
@@ -258,17 +380,22 @@ def _qp_metrics_dict(dims, m: Metrics, s, z):
 
 
 def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
-                 gmv, amv, pmv, dtype):
+                 gmv, amv, pmv, dtype, xops: VecOps = DEFAULT_VECOPS,
+                 yops: VecOps = DEFAULT_VECOPS, has_y=None):
     """Pure, jit-traceable coneqp driver: the entire IPM is one
-    lax.while_loop; returns the final state as arrays (no host syncs)."""
-    n = q.shape[0]
-    p = b.shape[0]
-    N = dims.size
+    lax.while_loop; returns the final state as arrays (no host syncs).
+
+    x and y live in abstract vector spaces given by `xops`/`yops`
+    (reference coneprog.py:378-402 custom vector spaces); the defaults
+    handle arrays and arbitrary pytrees."""
+    p = has_y if has_y is not None else (
+        jax.tree_util.tree_leaves(b)[0].shape[0]
+        if jax.tree_util.tree_leaves(b) else 0)
     deg = dims.degree
     e = cones.cone_e(dims, dtype)
 
-    resx0 = jnp.maximum(1.0, jnp.linalg.norm(q))
-    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b)) if p else jnp.asarray(
+    resx0 = jnp.maximum(1.0, xops.norm(q))
+    resy0 = jnp.maximum(1.0, yops.norm(b)) if p else jnp.asarray(
         1.0, dtype)
     resz0 = jnp.maximum(1.0, cones.snrm2(dims, h))
 
@@ -280,16 +407,25 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
         def kkt_solve(bx, by, bzv):
             dx, dy, dz = solve(bx, by, bzv)
             for _ in range(o.refinement):
-                r1 = bx - (pmv(dx) + amv(dy, trans=True) + gmv(dz, trans=True))
-                r2 = by - amv(dx)
+                # r1 = bx - (P dx + A'dy + G'dz)   (x-space)
+                t = pmv(dx)
+                if p:
+                    t = xops.axpy(amv(dy, trans=True), t)
+                t = xops.axpy(gmv(dz, trans=True), t)
+                r1 = xops.axpy(t, bx, -1.0)
+                # r2 = by - A dx                    (y-space)
+                r2 = yops.axpy(amv(dx), by, -1.0) if p else by
                 wtwdz = cones.scale(dims, W, cones.scale(dims, W, dz),
                                     trans=True)
                 r3 = bzv - (gmv(dx) - wtwdz)
                 ex, ey, ez = solve(r1, r2, r3)
-                dx, dy, dz = dx + ex, dy + ey, dz + ez
+                dx = xops.axpy(ex, dx)
+                dy = yops.axpy(ey, dy) if p else dy
+                dz = dz + ez
             return dx, dy, dz
 
-        dx, dy, dz = kkt_solve(-rx, -ry, bz)
+        dx, dy, dz = kkt_solve(xops.scal(-1.0, rx),
+                               yops.scal(-1.0, ry), bz)
         ds = cones.scale(dims, W,
                          tmp - cones.scale(dims, W, dz), trans=True)
         return dx, dy, dz, ds
@@ -297,10 +433,10 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
     def initial_point():
         if init is not None:
             x0, y0, s0, z0 = init
-            return x0, (y0 if p else jnp.zeros((0,), dtype)), s0, z0
+            return x0, y0, s0, z0
         W0 = cones.identity_scaling(dims, dtype)
         solve0 = factor(W0)
-        x0, y0, z0 = solve0(-q, b, h)
+        x0, y0, z0 = solve0(xops.scal(-1.0, q), b, h)
         s0 = -z0
         ts = cones.max_step(dims, s0)
         s0 = jnp.where(ts >= -1e-8 * jnp.maximum(1.0, jnp.abs(ts)),
@@ -311,18 +447,20 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
         return x0, y0, s0, z0
 
     def metrics_of(x, y, s, z):
-        rx = pmv(x) + q + gmv(z, trans=True) + (
-            amv(y, trans=True) if p else 0.0)
-        ry = amv(x) - b if p else jnp.zeros((0,), dtype)
+        # rx = P x + q + G'z (+ A'y)   (x-space)
+        rx = xops.axpy(pmv(x), xops.axpy(gmv(z, trans=True), q))
+        if p:
+            rx = xops.axpy(amv(y, trans=True), rx)
+        ry = yops.axpy(b, amv(x), -1.0) if p else b
         rz = gmv(x) + s - h
         gap = cones.sdot(dims, s, z)
-        pcost = 0.5 * jnp.dot(x, pmv(x)) + jnp.dot(q, x)
-        dcost = pcost + (jnp.dot(y, ry) if p else 0.0) + \
+        pcost = 0.5 * xops.dot(x, pmv(x)) + xops.dot(q, x)
+        dcost = pcost + (yops.dot(y, ry) if p else 0.0) + \
             cones.sdot(dims, z, rz) - gap
         pres = jnp.maximum(
-            jnp.linalg.norm(ry) / resy0 if p else 0.0,
+            yops.norm(ry) / resy0 if p else 0.0,
             cones.snrm2(dims, rz) / resz0)
-        dres = jnp.linalg.norm(rx) / resx0
+        dres = xops.norm(rx) / resx0
         return rx, ry, rz, Metrics(pcost, dcost, gap,
                                    _relgap(gap, pcost, dcost), pres, dres)
 
@@ -366,15 +504,15 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
                                              1.0 / STEP)
             step = jnp.minimum(step, 1.0)
 
-            xn = x + step * dx
-            yn = y + step * dy
+            xn = xops.axpy(dx, x, step)
+            yn = yops.axpy(dy, y, step) if p else y
             sn = s + step * ds
             zn = z + step * dz
-            bad = ~jnp.isfinite(jnp.dot(xn, xn) + jnp.dot(sn, sn) +
+            bad = ~jnp.isfinite(xops.dot(xn, xn) + jnp.dot(sn, sn) +
                                 jnp.dot(zn, zn))
             st = jnp.where(bad, jnp.int32(SINGULAR), jnp.int32(RUNNING))
-            xn = jnp.where(bad, x, xn)
-            yn = jnp.where(bad, y, yn)
+            xn = _tree_select(bad, x, xn)
+            yn = _tree_select(bad, y, yn)
             sn = jnp.where(bad, s, sn)
             zn = jnp.where(bad, z, zn)
             return xn, yn, sn, zn, st
@@ -409,9 +547,12 @@ def qp(P, q, G=None, h=None, A=None, b=None, solver=None, initvals=None,
         return _osqp.qp_bridge(P, q, G, h, A, b, options=options)
     if solver == "gurobi":
         from .. import gurobi as _gurobi
-        status, x = _gurobi.qp(q, G, h, A, b, P, options=options)
-        return {"status": status, "x": x, "y": None, "z": None,
-                "s": None}
+        from ._conelp import _bridge_cone_result
+        opts = (options or {}).get("gurobi")
+        status, x, z, y = _gurobi.qp(q, G, h, A, b, P, options=opts)
+        ml = 0 if h is None else np.asarray(h).size
+        return _bridge_cone_result(status, x, z, y, q, G, h, A, b,
+                                   ml, [], P=P)
     if solver == "mosek":
         from .. import msk
         from ._conelp import _mosek_cone_result

@@ -42,7 +42,8 @@ from .. import cones, kkt, config
 from ..cones import ConeDims
 from .coneprog import (
     OPTIMAL, UNKNOWN, SINGULAR, _STATUS_STR, STEP, EXPON,
-    _resolve_options, _asarray, _relgap)
+    _resolve_options, _asarray, _relgap, VecOps, DEFAULT_VECOPS,
+    _make_vecops)
 
 
 def oracle_from_function(f, x0, mnl=None):
@@ -69,35 +70,83 @@ def oracle_from_function(f, x0, mnl=None):
 
 
 def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
-        options=None):
+        options=None, xnewcopy=None, xdot=None, xscal=None, xaxpy=None,
+        ynewcopy=None, ydot=None, yscal=None, yaxpy=None):
     """Nonlinear cone program with linear objective (reference
-    cvxprog.py:35)."""
+    cvxprog.py:35).
+
+    Custom vector spaces (reference cvxprog.py's xnewcopy/... contract):
+    passing any x*/y* hook makes x and c (resp. y and b) abstract pytrees;
+    G/A must then be operators, kktsolver a custom factor, and the oracle's
+    Df (and H) must be *operators* — Df(u, trans=False) maps x-space to
+    R^mnl, Df(v, trans=True) maps R^mnl to x-space, H(u) maps x-space to
+    x-space."""
     o, dtype, merged = _resolve_options(options)
-    c = _asarray(c, dtype, name="c")
-    n = c.shape[0]
+    custom_x = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy))
+    custom_y = any(f is not None for f in (ynewcopy, ydot, yscal, yaxpy))
+    xops = _make_vecops(xnewcopy, xdot, xscal, xaxpy)
+    yops = _make_vecops(ynewcopy, ydot, yscal, yaxpy)
+    if (custom_x or custom_y) and not callable(kktsolver):
+        raise ValueError("custom vector spaces require a custom kktsolver")
+    if not custom_x:
+        c = _asarray(c, dtype, name="c")
+        n = c.shape[0]
+    else:
+        n = None
     mnl, x0 = F()
     mnl = int(mnl)
-    x0 = _asarray(x0, dtype, name="x0")
+    if not custom_x:
+        x0 = _asarray(x0, dtype, name="x0")
 
     if dims is None:
         dims = ConeDims(l=0 if h is None else int(np.asarray(h).size))
     dims = ConeDims.from_dict(dims)
     if G is None:
-        G = jnp.zeros((dims.size, n), dtype)
-        h = jnp.zeros((dims.size,), dtype)
+        if custom_x:
+            if dims.size:
+                raise ValueError("custom x vector space requires "
+                                 "operator-form G when dims is nonempty")
+            G = lambda v, trans=False: (xops.zero(c) if trans
+                                        else jnp.zeros((0,), dtype))
+        else:
+            G = jnp.zeros((dims.size, n), dtype)
+            h = jnp.zeros((dims.size,), dtype)
     G_is_op = callable(G)
+    if custom_x and not G_is_op:
+        raise ValueError("custom x vector space requires operator-form G")
     if G_is_op and not callable(kktsolver):
         raise ValueError("operator-form G requires a custom kktsolver")
     Ga = G if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
                                     name="G")
     gmv = G if G_is_op else (lambda v, trans=False:
                              (Ga.T @ v if trans else Ga @ v))
-    h = _asarray(h, dtype, shape=(dims.size,), name="h")
-    Aa = _asarray(A, dtype, name="A") if A is not None else jnp.zeros(
-        (0, n), dtype)
-    b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
-        (0,), dtype)
-    p = b.shape[0]
+    h = (_asarray(h, dtype, shape=(dims.size,), name="h")
+         if h is not None else jnp.zeros((dims.size,), dtype))
+    if custom_y:
+        if A is None or not callable(A) or b is None:
+            raise ValueError("custom y vector space requires operator-form "
+                             "A and b")
+        amv = A
+        p = 1
+    else:
+        A_is_op = A is not None and callable(A)
+        if A_is_op and not callable(kktsolver):
+            raise ValueError("operator-form A requires a custom kktsolver")
+        if A_is_op:
+            amv = A
+            if b is None:
+                raise ValueError("operator-form A requires b")
+            b = _asarray(b, dtype, name="b")
+        else:
+            Aa = _asarray(A, dtype, name="A") if A is not None else \
+                jnp.zeros((0, n), dtype) if n is not None else None
+            if Aa is None:
+                Aa = jnp.zeros((0, 1), dtype)
+            amv = (lambda v, trans=False:
+                   (Aa.T @ v if trans else Aa @ v))
+            b = _asarray(b, dtype, name="b") if b is not None else \
+                jnp.zeros((0,), dtype)
+        p = b.shape[0] if not custom_y else 1
 
     o = o.resolve_refinement(dims)
     edims = dims.with_extra_l(mnl)
@@ -118,21 +167,31 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
             return None
         if z is None:
             f, Df = out
-            return (jnp.atleast_1d(_asarray(f, dtype)),
-                    jnp.atleast_2d(_asarray(Df, dtype, name="Df")))
+            if not callable(Df):
+                Df = jnp.atleast_2d(_asarray(Df, dtype, name="Df"))
+            return jnp.atleast_1d(_asarray(f, dtype)), Df
         f, Df, H = out
-        return (jnp.atleast_1d(_asarray(f, dtype)),
-                jnp.atleast_2d(_asarray(Df, dtype, name="Df")),
-                _asarray(H, dtype, name="H"))
+        if not callable(Df):
+            Df = jnp.atleast_2d(_asarray(Df, dtype, name="Df"))
+        if not callable(H):
+            H = _asarray(H, dtype, name="H")
+        return jnp.atleast_1d(_asarray(f, dtype)), Df, H
+
+    def _dfmv(Df):
+        if callable(Df):
+            return Df
+        return lambda u, trans=False: (Df.T @ u if trans else Df @ u)
 
     def geff_mv(Df, v, trans=False):
+        dmv = _dfmv(Df)
         if trans:
-            return Df.T @ v[:mnl] + gmv(v[mnl:], trans=True)
-        return jnp.concatenate([Df @ v, gmv(v)])
+            return xops.axpy(dmv(v[:mnl], trans=True),
+                             gmv(v[mnl:], trans=True))
+        return jnp.concatenate([dmv(v), gmv(v)])
 
     # initial point (reference cvxprog.py: x = x0, s/z = identity-ish)
     x = x0
-    y = jnp.zeros((p,), dtype)
+    y = yops.zero(b)
     s = e.copy()
     z = e.copy()
 
@@ -140,8 +199,8 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
     if out0 is None:
         raise ValueError("x0 must be in the domain of f")
 
-    resx0 = jnp.maximum(1.0, jnp.linalg.norm(c))
-    resy0 = jnp.maximum(1.0, jnp.linalg.norm(b))
+    resx0 = jnp.maximum(1.0, xops.norm(c))
+    resy0 = jnp.maximum(1.0, yops.norm(b))
     f0, Df0 = out0
     resz0 = jnp.maximum(1.0, cones.snrm2(
         edims, jnp.concatenate([f0 * 0 + 1.0, h])))
@@ -152,20 +211,22 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
 
     for it in range(o.maxiters + 1):
         f, Df = feval(x)
-        rx = c + geff_mv(Df, z, trans=True) + (Aa.T @ y if p else 0.0)
-        ry = Aa @ x - b
+        rx = xops.axpy(geff_mv(Df, z, trans=True), c)
+        if p:
+            rx = xops.axpy(amv(y, trans=True), rx)
+        ry = yops.axpy(b, amv(x), -1.0) if p else b
         rznl = s[:mnl] + f
         rzl = s[mnl:] + gmv(x) - h
         rz = jnp.concatenate([rznl, rzl])
         gap = cones.sdot(edims, s, z)
 
-        pcost = jnp.dot(c, x)
-        dcost = pcost + (jnp.dot(y, ry) if p else 0.0) + \
+        pcost = xops.dot(c, x)
+        dcost = pcost + (yops.dot(y, ry) if p else 0.0) + \
             cones.sdot(edims, z, rz) - gap
         relgap = _relgap(gap, pcost, dcost)
-        pres = jnp.maximum(jnp.linalg.norm(ry) / resy0 if p else 0.0,
+        pres = jnp.maximum(yops.norm(ry) / resy0 if p else 0.0,
                            cones.snrm2(edims, rz) / resz0)
-        dres = jnp.linalg.norm(rx) / resx0
+        dres = xops.norm(rx) / resx0
 
         if o.show_progress:
             print(f"{it:2d}: {float(pcost): .4e} {float(dcost): .4e} "
@@ -195,19 +256,29 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         lmbdasq = cones.ssqr(edims, lmbda)
         mu = gap / edeg
 
+        hmv = H if callable(H) else (lambda u: H @ u)
+
         def newton(d_target):
             tmp = cones.sinv(edims, lmbda, d_target)
             bz = -rz - cones.scale(edims, W, tmp, trans=True)
-            dx, dy, dz = solve(-rx, -ry, bz)
+            dx, dy, dz = solve(xops.scal(-1.0, rx),
+                               yops.scal(-1.0, ry), bz)
             for _ in range(o.refinement):
-                r1 = -rx - (H @ dx + (Aa.T @ dy if p else 0.0) +
-                            geff_mv(Df, dz, trans=True))
-                r2 = -ry - Aa @ dx
+                # r1 = -rx - (H dx + A'dy + Geff'dz)    (x-space)
+                t1 = xops.axpy(hmv(dx), geff_mv(Df, dz, trans=True))
+                if p:
+                    t1 = xops.axpy(amv(dy, trans=True), t1)
+                r1 = xops.axpy(rx, xops.scal(-1.0, t1), -1.0)
+                # r2 = -ry - A dx                        (y-space)
+                r2 = (yops.scal(-1.0, yops.axpy(amv(dx), ry))
+                      if p else ry)
                 wtwdz = cones.scale(edims, W,
                                     cones.scale(edims, W, dz), trans=True)
                 r3 = bz - (geff_mv(Df, dx) - wtwdz)
                 ex, ey, ez = solve(r1, r2, r3)
-                dx, dy, dz = dx + ex, dy + ey, dz + ez
+                dx = xops.axpy(ex, dx)
+                dy = yops.axpy(ey, dy) if p else dy
+                dz = dz + ez
             ds = cones.scale(edims, W,
                              tmp - cones.scale(edims, W, dz), trans=True)
             return dx, dy, dz, ds
@@ -235,25 +306,27 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
 
         # domain / safeguard backtracking (role of the reference's relaxed
         # line search, cvxprog.py:1126-1200)
-        res_norm = float(jnp.linalg.norm(rx)) + float(
-            cones.snrm2(edims, rz)) + (float(jnp.linalg.norm(ry))
+        res_norm = float(xops.norm(rx)) + float(
+            cones.snrm2(edims, rz)) + (float(yops.norm(ry))
                                        if p else 0.0)
         ok = False
         for _ in range(30):
-            xn = x + step * dx
+            xn = xops.axpy(dx, x, step)
             outn = feval(xn)
             if outn is not None and bool(jnp.all(jnp.isfinite(outn[0]))):
                 fn_, Dfn_ = outn
                 sn = s + step * ds
                 zn = z + step * dz
-                yn = y + step * dy
-                rxn = c + geff_mv(Dfn_, zn, trans=True) + (
-                    Aa.T @ yn if p else 0.0)
+                yn = yops.axpy(dy, y, step) if p else y
+                rxn = xops.axpy(geff_mv(Dfn_, zn, trans=True), c)
+                if p:
+                    rxn = xops.axpy(amv(yn, trans=True), rxn)
                 rzn = jnp.concatenate(
                     [sn[:mnl] + fn_, sn[mnl:] + gmv(xn) - h])
-                newres = float(jnp.linalg.norm(rxn)) + float(
+                newres = float(xops.norm(rxn)) + float(
                     cones.snrm2(edims, rzn)) + (
-                    float(jnp.linalg.norm(Aa @ xn - b)) if p else 0.0)
+                    float(yops.norm(yops.axpy(b, amv(xn), -1.0)))
+                    if p else 0.0)
                 gapn = float(cones.sdot(edims, sn, zn))
                 if math.isfinite(newres) and gapn > 0 and (
                         newres <= 2.0 * res_norm + 1e-8 or
@@ -285,12 +358,23 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
 
 
 def cp(F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
-       options=None):
+       options=None, xnewcopy=None, xdot=None, xscal=None, xaxpy=None,
+       ynewcopy=None, ydot=None, yscal=None, yaxpy=None):
     """Nonlinear objective: minimize f0(x) s.t. f_k(x) <= 0, Gx + s = h,
     Ax = b, via the epigraph transform onto cpl (reference
     cvxprog.py:1359,1767-1958).  F's value vector has mnl+1 entries with f0
-    first."""
+    first.
+
+    With custom x-space hooks, the epigraph variable is the pytree tuple
+    (x, t); the x*-hooks for the extended space are synthesized from the
+    given ones (the reference's xdot_e construction, cvxprog.py:1767-1850),
+    and the user kktsolver sees the extended operators (Df_e/G_e/A_e)."""
     o, dtype, merged = _resolve_options(options)
+    custom_x = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy))
+    if custom_x:
+        return _cp_custom(F, G, h, dims, A, b, kktsolver, merged, dtype,
+                          _make_vecops(xnewcopy, xdot, xscal, xaxpy),
+                          ynewcopy, ydot, yscal, yaxpy)
     mnl, x0 = F()
     mnl = int(mnl)
     x0 = _asarray(x0, dtype, name="x0")
@@ -344,6 +428,90 @@ def cp(F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
     sol = dict(sol)
     xe = sol["x"]
     sol["x"] = xe[:n]
+    return sol
+
+
+def _cp_custom(F, G, h, dims, A, b, kktsolver, merged, dtype,
+               xops: VecOps, ynewcopy, ydot, yscal, yaxpy):
+    """cp over a custom x vector space: epigraph variable (x, t) as a
+    pytree tuple, extended hooks synthesized from `xops`."""
+    mnl, x0 = F()
+    mnl = int(mnl)
+    f0 = F(x0)
+    if f0 is None or f0[0] is None:
+        raise ValueError("x0 must be in the domain of f")
+    t0 = jnp.asarray(jnp.atleast_1d(jnp.asarray(f0[0]))[0] + 1.0, dtype)
+
+    def F_e(xe=None, z=None):
+        if xe is None:
+            return mnl + 1, (x0, t0)
+        x, t = xe
+        out = F(x) if z is None else F(x, z)
+        if out is None or out[0] is None:
+            return None
+        if z is None:
+            f, Df = out[0], out[1]
+            H = None
+        else:
+            f, Df, H = out
+        f = jnp.atleast_1d(jnp.asarray(f, dtype))
+        fe = f.at[0].add(-t)
+        dmv = Df if callable(Df) else (
+            lambda u, trans=False: (jnp.asarray(Df).T @ u if trans
+                                    else jnp.asarray(Df) @ u))
+
+        def Df_e(u, trans=False):
+            if trans:
+                return (dmv(u, trans=True), -u[0])
+            ux, ut = u
+            return dmv(ux).at[0].add(-ut)
+
+        if z is None:
+            return fe, Df_e
+        hmv = H if callable(H) else (lambda u: jnp.asarray(H) @ u)
+
+        def H_e(u):
+            ux, ut = u
+            return (hmv(ux), jnp.zeros_like(t0))
+
+        return fe, Df_e, H_e
+
+    def G_e(u, trans=False):
+        if G is None:
+            raise ValueError("custom-space cp with cone constraints "
+                             "requires operator G")
+        if trans:
+            return (G(u, trans=True), jnp.zeros_like(t0))
+        return G(u[0])
+
+    A_e = None
+    if A is not None:
+        def A_e(u, trans=False):
+            if trans:
+                return (A(u, trans=True), jnp.zeros_like(t0))
+            return A(u[0])
+
+    c_e = (xops.scal(0.0, x0), jnp.ones_like(t0))
+
+    def xdot_e(u, v):
+        return xops.dot(u[0], v[0]) + u[1] * v[1]
+
+    def xscal_e(alpha, u):
+        return (xops.scal(alpha, u[0]), alpha * u[1])
+
+    def xaxpy_e(u, v, alpha=1.0):
+        return (xops.axpy(u[0], v[0], alpha), alpha * u[1] + v[1])
+
+    def xnewcopy_e(u):
+        return (xops.copy(u[0]), u[1])
+
+    sol = cpl(c_e, F_e, G_e if G is not None else None, h, dims, A_e, b,
+              kktsolver=kktsolver, options=merged, xnewcopy=xnewcopy_e,
+              xdot=xdot_e, xscal=xscal_e, xaxpy=xaxpy_e,
+              ynewcopy=ynewcopy, ydot=ydot, yscal=yscal, yaxpy=yaxpy)
+    sol = dict(sol)
+    if sol["x"] is not None:
+        sol["x"] = sol["x"][0]
     return sol
 
 

@@ -153,3 +153,115 @@ def test_l1regls_custom_kkt():
     assert sol2["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(sol1["x"])[:n],
                                np.asarray(sol2["x"])[:n], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Custom vector spaces (the reference's third customization level:
+# coneprog.py:378-402 xnewcopy/xdot/xscal/xaxpy).  Here x lives in a
+# structured pytree space {'a': R^n1, 'b': R^n2}; G and P are operators and
+# the custom kktsolver maps to a dense factor and back.
+# ---------------------------------------------------------------------------
+
+
+def test_coneqp_pytree_vector_space():
+    from kvxopt_tpu import kkt
+
+    rng = np.random.default_rng(11)
+    n1, n2, m = 3, 4, 10
+    n = n1 + n2
+    G1 = jnp.asarray(rng.standard_normal((m, n1)))
+    G2 = jnp.asarray(rng.standard_normal((m, n2)))
+    Gfull = jnp.concatenate([G1, G2], axis=1)
+    Pfull = jnp.asarray(np.eye(n) * 2.0)
+    x0 = rng.standard_normal(n)
+    h = jnp.asarray(np.asarray(Gfull) @ x0 + rng.uniform(0.5, 1.5, m))
+    qv = rng.standard_normal(n)
+    dims = ConeDims(l=m)
+
+    # dense reference solve
+    sol_dense = coneqp(Pfull, qv, Gfull, h, dims)
+    assert sol_dense["status"] == "optimal"
+
+    # pytree-space solve: x = {'a': (n1,), 'b': (n2,)}
+    qtree = {"a": jnp.asarray(qv[:n1]), "b": jnp.asarray(qv[n1:])}
+
+    def Gop(u, trans=False):
+        if trans:
+            return {"a": G1.T @ u, "b": G2.T @ u}
+        return G1 @ u["a"] + G2 @ u["b"]
+
+    def Pop(u):
+        return {"a": 2.0 * u["a"], "b": 2.0 * u["b"]}
+
+    dense_factor = kkt.make_kkt_solver("chol2", dims, Gfull,
+                                       jnp.zeros((0, n)), Pfull)
+
+    def kktsolver(W, H=None, Df=None):
+        solve_dense = dense_factor(W)
+
+        def solve(bx, by, bz):
+            bxc = jnp.concatenate([bx["a"], bx["b"]])
+            ux, uy, uz = solve_dense(bxc, by, bz)
+            return {"a": ux[:n1], "b": ux[n1:]}, uy, uz
+
+        return solve
+
+    sol_tree = coneqp(Pop, qtree, Gop, h, dims, kktsolver=kktsolver,
+                      xnewcopy=lambda u: u)
+    assert sol_tree["status"] == "optimal"
+    xcat = np.concatenate([np.asarray(sol_tree["x"]["a"]),
+                           np.asarray(sol_tree["x"]["b"])])
+    np.testing.assert_allclose(xcat, np.asarray(sol_dense["x"]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sol_tree["z"]),
+                               np.asarray(sol_dense["z"]), atol=1e-7)
+
+
+def test_conelp_pytree_vector_space():
+    """conelp over a structured pytree x-space agrees with the dense path
+    (and exercises the tau/kappa embedding with abstract x)."""
+    from kvxopt_tpu import kkt
+
+    rng = np.random.default_rng(12)
+    n1, n2, m = 2, 3, 9
+    n = n1 + n2
+    G1 = jnp.asarray(rng.standard_normal((m, n1)))
+    G2 = jnp.asarray(rng.standard_normal((m, n2)))
+    Gfull = jnp.concatenate([G1, G2], axis=1)
+    x0 = rng.standard_normal(n)
+    h = jnp.asarray(np.asarray(Gfull) @ x0 + rng.uniform(0.5, 1.5, m))
+    # bounded LP: c in the row space of G with positive multipliers
+    zc = rng.uniform(0.5, 1.5, m)
+    cv = -np.asarray(Gfull).T @ zc
+    dims = ConeDims(l=m)
+
+    sol_dense = conelp(cv, Gfull, h, dims)
+    assert sol_dense["status"] == "optimal"
+
+    ctree = {"a": jnp.asarray(cv[:n1]), "b": jnp.asarray(cv[n1:])}
+
+    def Gop(u, trans=False):
+        if trans:
+            return {"a": G1.T @ u, "b": G2.T @ u}
+        return G1 @ u["a"] + G2 @ u["b"]
+
+    dense_factor = kkt.make_kkt_solver("chol2", dims, Gfull,
+                                       jnp.zeros((0, n)))
+
+    def kktsolver(W, H=None, Df=None):
+        solve_dense = dense_factor(W)
+
+        def solve(bx, by, bz):
+            bxc = jnp.concatenate([bx["a"], bx["b"]])
+            ux, uy, uz = solve_dense(bxc, by, bz)
+            return {"a": ux[:n1], "b": ux[n1:]}, uy, uz
+
+        return solve
+
+    sol_tree = conelp(ctree, Gop, h, dims, kktsolver=kktsolver,
+                      xnewcopy=lambda u: u)
+    assert sol_tree["status"] == "optimal"
+    xcat = np.concatenate([np.asarray(sol_tree["x"]["a"]),
+                           np.asarray(sol_tree["x"]["b"])])
+    np.testing.assert_allclose(xcat, np.asarray(sol_dense["x"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sol_tree["z"]),
+                               np.asarray(sol_dense["z"]), atol=1e-6)

@@ -231,3 +231,110 @@ def test_cpl_soc_cone_constraint():
     assert sol["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(sol["x"]), [2.0, 0.0],
                                atol=1e-4)
+
+
+def test_cp_pytree_vector_space():
+    """cp over a structured pytree x-space {'a','b'} (the reference's
+    third customization level, cvxprog.py xnewcopy/xdot/xscal/xaxpy)
+    agrees with the dense path.  The custom kktsolver densifies the
+    extended-space operators via ravel_pytree."""
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+    from kvxopt_tpu.solvers import cp
+    from kvxopt_tpu.solvers.cvxprog import oracle_from_function
+
+    n1, n2 = 2, 3
+    n = n1 + n2
+    a = np.linspace(0.3, 0.7, n1)
+    bshift = np.linspace(-0.4, 0.4, n2)
+
+    # dense reference: f0(x) = sum exp(x[:n1]-a) + sum (x[n1:]+b)^2
+    def f0_flat(x):
+        return (jnp.sum(jnp.exp(x[:n1] - a)) +
+                jnp.sum((x[n1:] + bshift) ** 2) +
+                0.1 * jnp.sum(x ** 2))
+
+    Fd = oracle_from_function(lambda x: jnp.atleast_1d(f0_flat(x)) * 1.0,
+                              np.zeros(n))
+
+    # cp needs mnl+1 rows with f0 first; oracle_from_function builds a
+    # 1-row oracle => mnl = 0
+    def Fdense(x=None, z=None):
+        if x is None:
+            m, x0 = Fd()
+            return m - 1, x0
+        return Fd(x) if z is None else Fd(x, z)
+
+    sol_dense = cp(Fdense)
+    assert sol_dense["status"] == "optimal"
+
+    # pytree-space oracle: x = {'a': (n1,), 'b': (n2,)}
+    x0_tree = {"a": jnp.zeros(n1), "b": jnp.zeros(n2)}
+
+    def f0_tree(x):
+        return (jnp.sum(jnp.exp(x["a"] - a)) +
+                jnp.sum((x["b"] + bshift) ** 2) +
+                0.1 * (jnp.sum(x["a"] ** 2) + jnp.sum(x["b"] ** 2)))
+
+    grad_f0 = jax.grad(f0_tree)
+
+    def Ftree(x=None, z=None):
+        if x is None:
+            return 0, x0_tree
+        val = jnp.atleast_1d(f0_tree(x))
+        g = grad_f0(x)
+
+        def Df(u, trans=False):
+            if trans:  # R^1 -> x-space
+                return jax.tree_util.tree_map(lambda t: u[0] * t, g)
+            return jnp.atleast_1d(
+                sum(jnp.vdot(gl, ul) for gl, ul in
+                    zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(u))))
+
+        if z is None:
+            return val, Df
+
+        def Hop(u):
+            _, hvp = jax.jvp(grad_f0, (x,), (u,))
+            return jax.tree_util.tree_map(lambda t: z[0] * t, hvp)
+
+        return val, Df, Hop
+
+    def kktsolver(W, H=None, Df=None):
+        # densify the extended-space operators through ravel_pytree
+        proto = (x0_tree, jnp.zeros(()))
+        flat0, unravel = ravel_pytree(proto)
+        ntot = flat0.shape[0]
+        eye = np.eye(ntot)
+        cols_H = []
+        cols_D = []
+        for i in range(ntot):
+            ei = unravel(jnp.asarray(eye[i]))
+            cols_H.append(ravel_pytree(H(ei))[0])
+            cols_D.append(Df(ei))
+        Hd = jnp.stack(cols_H, axis=1)
+        Dd = jnp.stack(cols_D, axis=0).reshape(ntot, -1).T  # (mnl+1, ntot)
+        d = W.d
+        Gs = Dd / d[:, None]
+        K = Hd + Gs.T @ Gs + 1e-12 * jnp.eye(ntot)
+        L = jnp.linalg.cholesky(K)
+
+        def solve(bx, by, bz):
+            bxf, _ = ravel_pytree(bx)
+            bzs = bz / d
+            f = bxf + Gs.T @ bzs
+            u = jax.scipy.linalg.solve_triangular(L, f, lower=True)
+            ux = jax.scipy.linalg.solve_triangular(L.T, u, lower=False)
+            uz = (Gs @ ux - bzs) / d
+            return unravel(ux), by, uz
+
+        return solve
+
+    sol_tree = cp(Ftree, kktsolver=kktsolver, xnewcopy=lambda u: u)
+    assert sol_tree["status"] == "optimal"
+    xcat = np.concatenate([np.asarray(sol_tree["x"]["a"]),
+                           np.asarray(sol_tree["x"]["b"])])
+    np.testing.assert_allclose(xcat, np.asarray(sol_dense["x"]),
+                               atol=1e-6)

@@ -261,3 +261,116 @@ def test_activsg2000_scenario_batch():
     assert np.linalg.norm(G0.T @ zi + cs[i]) < 1e-5 * max(
         1, np.linalg.norm(cs[i]))
     assert (G0 @ xi <= hs[i] + 1e-6).all()
+
+
+# ---------------------------------------------------------------------------
+# Full-cone tensor-parallel kktsolver (sharded_kkt_solver)
+# ---------------------------------------------------------------------------
+
+
+def _cone_interior(dims, seed):
+    """A strictly interior point of the product cone."""
+    r = np.random.default_rng(seed)
+    u = np.zeros(dims.size)
+    u[:dims.l] = r.uniform(0.5, 2.0, dims.l)
+    for ofs, m in zip(dims.qofs, dims.q):
+        t = r.standard_normal(m) * 0.1
+        t[0] = 1.0 + np.linalg.norm(t[1:])
+        u[ofs:ofs + m] = t
+    for ofs, m in zip(dims.sofs, dims.s):
+        M = r.standard_normal((m, m)) * 0.2
+        X = M @ M.T + np.eye(m)
+        u[ofs:ofs + m * m] = X.ravel()
+    return jnp.asarray(u)
+
+
+def test_sharded_kkt_solver_matches_dense():
+    """The full-cone (l, q, s) sharded factor agrees with kkt_chol2 to
+    machine precision on an 8-device mesh."""
+    from kvxopt_tpu import kkt
+    from kvxopt_tpu.cones import compute_scaling
+    from kvxopt_tpu.parallel import sharded_kkt_solver
+
+    rng = np.random.default_rng(0)
+    dims = ConeDims(l=7, q=(3, 4, 3), s=(3, 2))
+    n, p = 6, 2
+    G = jnp.asarray(rng.standard_normal((dims.size, n)))
+    A = jnp.asarray(rng.standard_normal((p, n)))
+    Pm = jnp.asarray(np.eye(n) * 2.0)
+    W, _ = compute_scaling(dims, _cone_interior(dims, 1),
+                           _cone_interior(dims, 2))
+
+    mesh = make_mesh(8, ("kkt",))
+    solve = sharded_kkt_solver(mesh, "kkt", dims, G, A=A, Pmat=Pm)(W)
+    ref = kkt.make_kkt_solver("chol2", dims, G, A, Pm)(W)
+
+    bx = jnp.asarray(rng.standard_normal(n))
+    by = jnp.asarray(rng.standard_normal(p))
+    bz = _cone_interior(dims, 3)
+    ux, uy, uz = solve(bx, by, bz)
+    rx, ry, rz = ref(bx, by, bz)
+    np.testing.assert_allclose(np.asarray(ux), np.asarray(rx), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(uy), np.asarray(ry), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(uz), np.asarray(rz), atol=1e-10)
+
+
+def _symmetrize_sblocks(dims, G):
+    """Make the s-block rows of G valid vectorized symmetric matrices."""
+    G = np.asarray(G).copy()
+    for ofs, m in zip(dims.sofs, dims.s):
+        for j in range(G.shape[1]):
+            X = G[ofs:ofs + m * m, j].reshape(m, m)
+            G[ofs:ofs + m * m, j] = (0.5 * (X + X.T)).ravel()
+    return jnp.asarray(G)
+
+
+def test_coneqp_through_sharded_kkt():
+    """End-to-end IPM (coneqp, mixed l/q/s cones) through the
+    tensor-parallel factor matches the dense path to 1e-6."""
+    from kvxopt_tpu.parallel import sharded_kkt_solver
+    from kvxopt_tpu.solvers import coneqp
+
+    rng = np.random.default_rng(5)
+    dims = ConeDims(l=6, q=(3, 3), s=(2,))
+    n, p = 5, 2
+    G = _symmetrize_sblocks(dims, rng.standard_normal((dims.size, n)))
+    A = jnp.asarray(rng.standard_normal((p, n)))
+    Pm = jnp.asarray(np.eye(n) * 2.0)
+    x0 = rng.standard_normal(n)
+    h = jnp.asarray(np.asarray(G) @ x0 + np.asarray(_cone_interior(dims, 6)))
+    b = jnp.asarray(np.asarray(A) @ x0)
+    q = jnp.asarray(rng.standard_normal(n))
+
+    mesh = make_mesh(8, ("kkt",))
+    factor = sharded_kkt_solver(mesh, "kkt", dims, G, A=A, Pmat=Pm)
+    sol_sh = coneqp(Pm, q, G, h, dims, A, b, kktsolver=factor)
+    sol_dn = coneqp(Pm, q, G, h, dims, A, b)
+    assert sol_sh["status"] == "optimal"
+    assert sol_dn["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol_sh["x"]),
+                               np.asarray(sol_dn["x"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sol_sh["z"]),
+                               np.asarray(sol_dn["z"]), atol=1e-6)
+
+
+def test_conelp_through_sharded_kkt():
+    """conelp (self-dual embedding) LP through the sharded factor matches
+    the dense path and the known optimum."""
+    from kvxopt_tpu.parallel import sharded_kkt_solver
+    from kvxopt_tpu.solvers import conelp
+
+    rng = np.random.default_rng(7)
+    n, m = 4, 16
+    G = np.vstack([rng.standard_normal((m - 2 * n, n)), np.eye(n),
+                   -np.eye(n)])
+    h = np.concatenate([rng.uniform(1, 2, m - 2 * n), np.full(2 * n, 5.0)])
+    c = rng.standard_normal(n)
+    dims = ConeDims(l=m)
+    mesh = make_mesh(8, ("kkt",))
+    factor = sharded_kkt_solver(mesh, "kkt", dims, jnp.asarray(G))
+    sol_sh = conelp(c, jnp.asarray(G), jnp.asarray(h), dims,
+                    kktsolver=factor)
+    sol_dn = conelp(c, jnp.asarray(G), jnp.asarray(h), dims)
+    assert sol_sh["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol_sh["x"]),
+                               np.asarray(sol_dn["x"]), atol=1e-6)
