@@ -33,8 +33,10 @@ def sdp(c, Gl=None, hl=None, Gs=None, hs=None, gamma=1e8, beta=1e7,
     sol = _sdp(c, Gl=Gl, hl=hl, Gs=Gs, hs=hs, options=solver_opts)
     if sol["status"] == "optimal":
         status = "DSDP_PDFEASIBLE"
-    elif sol["status"] in ("primal infeasible", "dual infeasible"):
+    elif sol["status"] == "primal infeasible":
         status = "DSDP_INFEASIBLE"
+    elif sol["status"] == "dual infeasible":
+        status = "DSDP_UNBOUNDED"
     else:
         status = "DSDP_UNKNOWN"
     x = sol.get("x")

@@ -12,6 +12,8 @@ Return formats match the reference:
     ilp(...) -> (status, x)
 """
 
+import warnings
+
 import numpy as np
 
 from .base import matrix
@@ -33,11 +35,79 @@ def _merged_options(opts):
     return out
 
 
+def _warn_default(key):
+    # the reference's behavior on a badly typed/valued option
+    # (glpk.c:224-226 PyErr_WarnEx "replacing ... with default value")
+    warnings.warn(f"replacing glpk.options[{key!r}] with default value",
+                  stacklevel=3)
+
+
+def _translate_simplex_options(o):
+    """Map the GLPK glp_smcp option keys the reference honors
+    (glpk.c:200-330: msg_lev/meth/pricing/r_test/tol_bnd/tol_dj/tol_piv/
+    obj_ll/obj_ul/it_lim/tm_lim/presolve) onto the HiGHS backend.  Keys
+    with no HiGHS equivalent (pricing, r_test, obj_ll/obj_ul) are
+    type-checked and accepted; badly typed values warn and fall back to
+    the default, exactly like the reference."""
+    sopts = {}
+    method = "highs"
+    for key, value in o.items():
+        if key == "msg_lev":
+            if value in ("GLP_MSG_OFF", "GLP_MSG_ERR"):
+                sopts["disp"] = False
+            elif value in ("GLP_MSG_ON", "GLP_MSG_ALL"):
+                sopts["disp"] = True
+            else:
+                _warn_default(key)
+        elif key == "meth":
+            if value in ("GLP_DUAL", "GLP_DUALP"):
+                method = "highs-ds"
+            elif value == "GLP_PRIMAL":
+                method = "highs"
+            else:
+                _warn_default(key)
+        elif key == "pricing":
+            if value not in ("GLP_PT_STD", "GLP_PT_PSE"):
+                _warn_default(key)
+        elif key == "r_test":
+            if value not in ("GLP_RT_STD", "GLP_RT_HAR"):
+                _warn_default(key)
+        elif key == "tol_bnd":
+            if isinstance(value, float):
+                sopts["primal_feasibility_tolerance"] = value
+            else:
+                _warn_default(key)
+        elif key == "tol_dj":
+            if isinstance(value, float):
+                sopts["dual_feasibility_tolerance"] = value
+            else:
+                _warn_default(key)
+        elif key in ("tol_piv", "obj_ll", "obj_ul"):
+            if not isinstance(value, float):
+                _warn_default(key)
+        elif key == "it_lim":
+            if isinstance(value, int) and not isinstance(value, bool):
+                sopts["maxiter"] = value
+            else:
+                _warn_default(key)
+        elif key == "tm_lim":
+            if isinstance(value, int) and not isinstance(value, bool):
+                sopts["time_limit"] = value / 1000.0  # GLPK ms -> s
+            else:
+                _warn_default(key)
+        elif key == "presolve":
+            sopts["presolve"] = value not in ("GLP_OFF", 0, False)
+    return sopts, method
+
+
 def lp(c, G, h, A=None, b=None, options=None):
     """Simplex LP: minimize c'x s.t. Gx <= h, Ax = b (glpk.c:75-188).
-    Returns (status, x, z, y)."""
+    Returns (status, x, z, y).  GLPK-style options (msg_lev, meth,
+    tol_bnd, tol_dj, it_lim, tm_lim, presolve, ...) are honored via
+    their HiGHS equivalents."""
     from scipy.optimize import linprog
     o = _merged_options(options)
+    sopts, method = _translate_simplex_options(o)
     cv = _to_np(c)
     Gm = np.asarray(G, dtype=float).reshape(-1, len(cv))
     hv = _to_np(h)
@@ -45,7 +115,7 @@ def lp(c, G, h, A=None, b=None, options=None):
         if A is not None else None
     bv = _to_np(b) if b is not None else None
     res = linprog(cv, A_ub=Gm, b_ub=hv, A_eq=Am, b_eq=bv,
-                  bounds=(None, None), method="highs")
+                  bounds=(None, None), method=method, options=sopts)
     if res.status == 0:
         x = matrix(res.x.reshape(-1, 1))
         z = matrix(np.maximum(0.0, -np.asarray(
@@ -67,6 +137,24 @@ def ilp(c, G, h, A=None, b=None, I=None, B=None, options=None):
     (glpk.c:427-455).  Returns (status, x)."""
     from scipy.optimize import milp, LinearConstraint, Bounds
     o = _merged_options(options)
+    mopts = {}
+    for key, value in o.items():
+        # glp_iocp keys the reference honors (glpk.c intopt options):
+        # msg_lev, tm_lim, mip_gap, presolve
+        if key == "msg_lev":
+            mopts["disp"] = value in ("GLP_MSG_ON", "GLP_MSG_ALL")
+        elif key == "tm_lim":
+            if isinstance(value, int) and not isinstance(value, bool):
+                mopts["time_limit"] = value / 1000.0
+            else:
+                _warn_default(key)
+        elif key == "mip_gap":
+            if isinstance(value, float):
+                mopts["mip_rel_gap"] = value
+            else:
+                _warn_default(key)
+        elif key == "presolve":
+            mopts["presolve"] = value not in ("GLP_OFF", 0, False)
     cv = _to_np(c)
     n = len(cv)
     Gm = np.asarray(G, dtype=float).reshape(-1, n)
@@ -87,7 +175,7 @@ def ilp(c, G, h, A=None, b=None, I=None, B=None, options=None):
         bv = _to_np(b)
         cons.append(LinearConstraint(Am, bv, bv))
     res = milp(cv, constraints=cons, integrality=integrality,
-               bounds=Bounds(lb, ub))
+               bounds=Bounds(lb, ub), options=mopts)
     if res.status == 0:
         x = res.x.copy()
         x[list(I | B)] = np.round(x[list(I | B)]) if (I | B) else \

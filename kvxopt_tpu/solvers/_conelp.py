@@ -650,6 +650,142 @@ def _mosek_cone_result(solsta, x, z, y, c, G, h, A, b, ml, mq, P=None):
     return sol
 
 
+def _dsdp_result(dsdpstatus, x, zl, zs, c, Gl, hl, Gs, hs):
+    """Full result-dict mapping for solvers.sdp(solver='dsdp') — the
+    reference's DSDP branch (coneprog.py:3924-4113): status translation,
+    certificate scaling, residuals, slacks, and the complete key set."""
+    c = np.asarray(c, dtype=float).reshape(-1)
+    n = len(c)
+    ml = 0 if hl is None else int(np.asarray(hl).size)
+    Glm = (np.asarray(Gl, dtype=float).reshape(ml, n) if ml
+           else np.zeros((0, n)))
+    hlv = (np.asarray(hl, dtype=float).reshape(-1) if ml
+           else np.zeros(0))
+    Gs = Gs or []
+    hs = hs or []
+    ms = [int(np.asarray(hk).shape[0]) for hk in hs]
+    Gsm = [np.asarray(Gk, dtype=float).reshape(m * m, n)
+           for Gk, m in zip(Gs, ms)]
+    hsm = [np.asarray(hk, dtype=float).reshape(m, m)
+           for hk, m in zip(hs, ms)]
+
+    resx0 = max(1.0, np.linalg.norm(c))
+    rh = [np.linalg.norm(hlv)] + [np.linalg.norm(hk) for hk in hsm]
+    resz0 = max(1.0, np.linalg.norm(rh))
+
+    def _slack(sl_, ss_):
+        vals = ([float(np.min(sl_))] if ml else []) + \
+            [float(np.linalg.eigvalsh(0.5 * (S + S.T))[0]) for S in ss_]
+        return min(vals) if vals else None
+
+    def _gxT(zl_, zs_):
+        """G'z over the l/s blocks (full symmetric storage)."""
+        out = (Glm.T @ zl_ if ml else np.zeros(n))
+        for Gk, Z in zip(Gsm, zs_):
+            out = out + Gk.T @ Z.reshape(-1)
+        return out
+
+    def _gx(x_):
+        """(Gl x, [mat(Gs_k x)])"""
+        sl_ = Glm @ x_ if ml else np.zeros(0)
+        ss_ = [(Gk @ x_).reshape(m, m) for Gk, m in zip(Gsm, ms)]
+        return sl_, ss_
+
+    keys = ("x", "sl", "ss", "y", "zl", "zs", "primal objective",
+            "dual objective", "gap", "relative gap",
+            "primal infeasibility", "dual infeasibility",
+            "residual as primal infeasibility certificate",
+            "residual as dual infeasibility certificate",
+            "primal slack", "dual slack")
+    sol = dict.fromkeys(keys)
+
+    if dsdpstatus == "DSDP_UNBOUNDED":
+        sol["status"] = "dual infeasible"
+        xv = np.asarray(x, dtype=float).reshape(-1)
+        xv = xv * (-1.0 / float(c @ xv))
+        sl_, ss_ = _gx(xv)
+        sl_, ss_ = -sl_, [-0.5 * (S + S.T) for S in ss_]
+        glx, gsx = _gx(xv)
+        rz = np.concatenate([glx + sl_] +
+                            [(S + gs).reshape(-1)
+                             for S, gs in zip(ss_, gsx)]) \
+            if (ml or ms) else np.zeros(0)
+        sol.update({
+            "x": xv, "sl": sl_, "ss": ss_, "primal objective": -1.0,
+            "residual as dual infeasibility certificate":
+                float(np.linalg.norm(rz) / resz0),
+            "primal slack": _slack(sl_, ss_)})
+        return sol
+
+    if dsdpstatus == "DSDP_INFEASIBLE":
+        sol["status"] = "primal infeasible"
+        zlv = (np.asarray(zl, dtype=float).reshape(-1) if ml
+               else np.zeros(0))
+        zsv = [np.asarray(Z, dtype=float).reshape(m, m)
+               for Z, m in zip(zs or [], ms)]
+        hz = float(hlv @ zlv) + sum(
+            float(np.sum(hk * Z)) for hk, Z in zip(hsm, zsv))
+        scal = 1.0 / (-hz)
+        zlv = zlv * scal
+        zsv = [0.5 * (Z + Z.T) * scal for Z in zsv]
+        rx = -_gxT(zlv, zsv)
+        sol.update({
+            "y": np.zeros(0), "zl": zlv, "zs": zsv,
+            "dual objective": 1.0,
+            "residual as primal infeasibility certificate":
+                float(np.linalg.norm(rx) / resx0),
+            "dual slack": _slack(zlv, zsv)})
+        return sol
+
+    sol["status"] = ("optimal" if dsdpstatus == "DSDP_PDFEASIBLE"
+                     else "unknown")
+    if x is None or zl is None and ml:
+        return sol
+    xv = np.asarray(x, dtype=float).reshape(-1)
+    zlv = (np.asarray(zl, dtype=float).reshape(-1) if ml
+           else np.zeros(0))
+    zsv = [0.5 * (np.asarray(Z, dtype=float).reshape(m, m) +
+                  np.asarray(Z, dtype=float).reshape(m, m).T)
+           for Z, m in zip(zs or [], ms)]
+    glx, gsx = _gx(xv)
+    sl_ = hlv - glx
+    ss_ = [0.5 * ((hk - gs) + (hk - gs).T) for hk, gs in zip(hsm, gsx)]
+    pcost = float(c @ xv)
+    dcost = -float(hlv @ zlv) - sum(
+        float(np.sum(hk * Z)) for hk, Z in zip(hsm, zsv))
+    gap = float(sl_ @ zlv) + sum(
+        float(np.sum(S * Z)) for S, Z in zip(ss_, zsv))
+    relgap = (gap / -pcost if pcost < 0.0 else
+              gap / dcost if dcost > 0.0 else None)
+    rx = c + _gxT(zlv, zsv)
+    resx = float(np.linalg.norm(rx) / resx0)
+    rz = np.concatenate(
+        [glx + sl_ - hlv] +
+        [(gs + S - hk).reshape(-1)
+         for gs, S, hk in zip(gsx, ss_, hsm)]) if (ml or ms) else \
+        np.zeros(0)
+    resz = float(np.linalg.norm(rz) / resz0)
+    pinfres = dinfres = None
+    if sol["status"] != "optimal" and dcost > 0.0:
+        pinfres = float(np.linalg.norm(_gxT(zlv, zsv)) / resx0 / dcost)
+    if sol["status"] != "optimal" and pcost < 0.0:
+        rzc = np.concatenate(
+            [glx + sl_] + [(gs + S).reshape(-1)
+                           for gs, S in zip(gsx, ss_)])
+        dinfres = float(np.linalg.norm(rzc) / resz0 / -pcost)
+    sol.update({
+        "x": xv, "sl": sl_, "ss": ss_, "y": np.zeros(0),
+        "zl": zlv, "zs": zsv,
+        "primal objective": pcost, "dual objective": dcost,
+        "gap": gap, "relative gap": relgap,
+        "primal infeasibility": resz, "dual infeasibility": resx,
+        "residual as primal infeasibility certificate": pinfres,
+        "residual as dual infeasibility certificate": dinfres,
+        "primal slack": _slack(sl_, ss_),
+        "dual slack": _slack(zlv, zsv)})
+    return sol
+
+
 def lp(c, G, h, A=None, b=None, solver=None, primalstart=None,
        dualstart=None, kktsolver=None, options=None):
     """LP: minimize c'x s.t. Gx <= h, Ax = b.  `solver` accepts None
@@ -798,13 +934,15 @@ def sdp(c, Gl=None, hl=None, Gs=None, hs=None, A=None, b=None,
     matrices, hs[k] square matrices).  solver='dsdp' routes through the
     DSDP-interface bridge (reference coneprog.py:3924)."""
     if solver == "dsdp":
+        if A is not None:
+            raise ValueError("sdp() with the solver = 'dsdp' option does "
+                             "not handle problems with equality "
+                             "constraints")
         from .. import dsdp as _dsdp
         status, x, r, zl, zs = _dsdp.sdp(c, Gl, hl, Gs, hs,
                                          options=(options or {}).get(
                                              "dsdp"))
-        return {"status": "optimal" if status == "DSDP_PDFEASIBLE"
-                else "unknown", "x": x, "zl": zl, "zs": zs,
-                "y": None, "s": None}
+        return _dsdp_result(status, x, zl, zs, c, Gl, hl, Gs, hs)
     c = np.asarray(c, dtype=float).reshape(-1)
     Gparts, hparts, sl = [], [], []
     l = 0

@@ -163,3 +163,87 @@ def test_mosek_gurobi_absent():
         from kvxopt_tpu import msk  # noqa: F401
     with pytest.raises(ImportError):
         from kvxopt_tpu import gurobi  # noqa: F401
+
+
+def test_glpk_options_honored():
+    """GLPK-style options must have real effects (reference
+    glpk.c:200-330): it_lim actually limits iterations, tm_lim limits
+    time, badly typed values warn and fall back to defaults."""
+    import warnings
+    import numpy as np
+    from kvxopt_tpu import glpk
+
+    rng = np.random.default_rng(0)
+    n, m = 40, 120
+    G = np.vstack([rng.standard_normal((m - 2 * n, n)), np.eye(n),
+                   -np.eye(n)])
+    h = np.concatenate([rng.uniform(1, 2, m - 2 * n), np.full(2 * n, 5.0)])
+    c = rng.standard_normal(n)
+
+    status, x, z, y = glpk.lp(c, G, h)
+    assert status == "optimal"
+
+    # it_lim = 0 simplex iterations cannot reach optimality
+    status_lim, *_ = glpk.lp(c, G, h, options={"it_lim": 0,
+                                               "presolve": "GLP_OFF"})
+    assert status_lim != "optimal"
+
+    # tolerance keys are accepted with float values (no warning)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        status_tol, *_ = glpk.lp(c, G, h, options={
+            "tol_bnd": 1e-9, "tol_dj": 1e-9, "msg_lev": "GLP_MSG_OFF",
+            "meth": "GLP_DUAL", "pricing": "GLP_PT_PSE",
+            "r_test": "GLP_RT_HAR"})
+    assert status_tol == "optimal"
+
+    # badly typed option warns and falls back (reference PyErr_WarnEx)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        status_bad, *_ = glpk.lp(c, G, h, options={"it_lim": "nope"})
+    assert status_bad == "optimal"
+    assert any("replacing" in str(w.message) for w in rec)
+
+
+def test_sdp_dsdp_full_result_dict():
+    """solvers.sdp(solver='dsdp') returns the reference's complete key
+    set with values matching the native path (reference
+    coneprog.py:3924-4113)."""
+    import numpy as np
+    from kvxopt_tpu.solvers import sdp
+
+    # userguide SDP: minimize x1 + x2 s.t. diag block constraint
+    c = np.array([1.0, -1.0, 1.0])
+    Gs = [np.array([[-7., -11., -11., 3.],
+                    [7., -18., -18., 8.],
+                    [-2., -8., -8., 1.]]).T,
+          np.array([[-21., -11., 0., -11., 10., 8., 0., 8., 5.],
+                    [0., 10., 16., 10., -10., -10., 16., -10., 3.],
+                    [-5., 2., -17., 2., -6., 8., -17., 8., 6.]]).T]
+    hs = [np.array([[33., -9.], [-9., 26.]]),
+          np.array([[14., 9., 40.], [9., 91., 10.], [40., 10., 15.]])]
+    ref = sdp(c, Gs=Gs, hs=hs)
+    assert ref["status"] == "optimal"
+    sol = sdp(c, Gs=Gs, hs=hs, solver="dsdp")
+    assert sol["status"] == "optimal"
+    for key in ("x", "sl", "ss", "y", "zl", "zs", "primal objective",
+                "dual objective", "gap", "relative gap",
+                "primal infeasibility", "dual infeasibility",
+                "residual as primal infeasibility certificate",
+                "residual as dual infeasibility certificate",
+                "primal slack", "dual slack"):
+        assert key in sol, key
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               np.asarray(ref["x"]), atol=1e-5)
+    assert abs(sol["primal objective"] - ref["primal objective"]) < 1e-5
+    assert sol["gap"] < 1e-5
+    assert sol["primal infeasibility"] < 1e-6
+    assert sol["dual infeasibility"] < 1e-6
+    # slacks: distances to the PSD boundary
+    assert sol["primal slack"] >= -1e-8
+    assert sol["dual slack"] >= -1e-8
+    # DSDP option effect: a 2-iteration cap cannot converge (reference
+    # tests/test_dsdp.py:38-48 DSDP_MaxIts -> 'DSDP_UNKNOWN')
+    sol2 = sdp(c, Gs=Gs, hs=hs, solver="dsdp",
+               options={"dsdp": {"DSDP_MaxIts": 2}})
+    assert sol2["status"] == "unknown"

@@ -63,3 +63,66 @@ def test_robls_example():
     import robls as ex
     sol = ex.main()
     assert sol["status"] == "optimal"
+
+
+def test_conelp_example():
+    """chap8/conelp.py: mixed l/q/s cone LP (reference
+    tests/test_examples.py::test_ch8_conelp)."""
+    import conelp as ex
+    sol = ex.main()
+    assert sol["status"] == "optimal"
+    # userguide section 8.1 documented optimum
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [-1.2209, 0.0966, 3.5775], atol=1e-3)
+    assert sol["primal infeasibility"] < 1e-6
+    assert sol["dual infeasibility"] < 1e-6
+
+
+def test_coneqp_example():
+    """chap8/coneqp.py with the reference's expected solution
+    (tests/test_examples.py::test_ch8_coneqp)."""
+    import coneqp as ex
+    sol = ex.main()
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(
+        np.asarray(sol["x"]),
+        [0.72558319, 0.61806264, 0.30253528], atol=1e-5)
+
+
+def test_socp_example():
+    """chap8/socp.py with the userguide's documented solution."""
+    import socp as ex
+    sol = ex.main()
+    assert sol["status"] == "optimal"
+    # userguide section 8.5 documented optimum
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [-5.0148, -5.7667, -8.5217], atol=1e-3)
+    assert len(sol["zq"]) == 2
+
+
+def test_sdp_example():
+    """chap8/sdp.py with the userguide's documented solution."""
+    import sdp as ex
+    sol = ex.main()
+    assert sol["status"] == "optimal"
+    # userguide section 8.6 documented optimum
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [-0.3677, 1.8983, -0.8874], atol=1e-3)
+    assert len(sol["zs"]) == 2
+    for Z in sol["zs"]:
+        w = np.linalg.eigvalsh(np.asarray(Z))
+        assert w.min() > -1e-7
+
+
+def test_l1regls_example():
+    """chap8/l1regls.py: structure-exploiting custom kktsolver; verify
+    optimality via the subgradient condition of the l1-regularized LS
+    objective."""
+    import l1regls as ex
+    x, sol, A, y = ex.main()
+    assert sol["status"] == "optimal"
+    g = 2.0 * A.T @ (A @ x - y)  # gradient of the LS term
+    on = np.abs(x) > 1e-6
+    # |gradient| <= 1 everywhere, = -sign(x) on the support
+    assert (np.abs(g) <= 1.0 + 1e-5).all()
+    np.testing.assert_allclose(g[on], -np.sign(x[on]), atol=1e-4)
