@@ -123,6 +123,58 @@ def _set(u, sl, val):
 
 
 # ---------------------------------------------------------------------------
+# Same-size block grouping: q and s blocks of equal size are processed as
+# one batched (vmapped) operation instead of a trace-time Python loop, so
+# compile time and code size stay flat in the block count (the reference
+# iterates per block in C where that costs nothing; under XLA it would
+# bloat the graph).
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+_GROUP_CACHE: dict = {}
+
+
+def block_groups(dims: "ConeDims"):
+    """Group equal-size cone blocks: returns (qgroups, sgroups), each a
+    list of (m, block_indices, flat_index_array) with flat_index_array of
+    shape (count, m) for q and (count, m*m) for s — static numpy indices
+    for one gather/scatter per group."""
+    cached = _GROUP_CACHE.get(dims)
+    if cached is not None:
+        return cached
+    qg: dict = {}
+    for k, m in enumerate(dims.q):
+        qg.setdefault(m, []).append(k)
+    qgroups = []
+    for m, idxs in sorted(qg.items()):
+        flat = _np.stack([_np.arange(dims.qofs[k], dims.qofs[k] + m)
+                          for k in idxs])
+        qgroups.append((m, tuple(idxs), flat))
+    sg: dict = {}
+    for k, m in enumerate(dims.s):
+        sg.setdefault(m, []).append(k)
+    sgroups = []
+    for m, idxs in sorted(sg.items()):
+        flat = _np.stack([_np.arange(dims.sofs[k], dims.sofs[k] + m * m)
+                          for k in idxs])
+        sgroups.append((m, tuple(idxs), flat))
+    _GROUP_CACHE[dims] = (qgroups, sgroups)
+    return qgroups, sgroups
+
+
+def _jdot_b(xb):
+    """Batched hyperbolic inner product over (c, m) SOC blocks."""
+    return xb[:, 0] ** 2 - jnp.sum(xb[:, 1:] ** 2, axis=1)
+
+
+def _jnrm2_b(xb):
+    """Batched hyperbolic norm over (c, m) SOC blocks."""
+    a = jnp.linalg.norm(xb[:, 1:], axis=1)
+    return jnp.sqrt(jnp.maximum((xb[:, 0] - a) * (xb[:, 0] + a), 0.0))
+
+
+# ---------------------------------------------------------------------------
 # Identity element, inner products
 # ---------------------------------------------------------------------------
 
@@ -132,11 +184,13 @@ def cone_e(dims: ConeDims, dtype=None):
     dtype = dtype or config.default_dtype
     e = jnp.zeros((dims.size,), dtype=dtype)
     e = e.at[: dims.l].set(1.0)
-    for ofs in dims.qofs:
-        e = e.at[ofs].set(1.0)
-    for ofs, m in zip(dims.sofs, dims.s):
-        eye = jnp.eye(m, dtype=dtype).reshape(-1)
-        e = e.at[ofs:ofs + m * m].set(eye)
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        e = e.at[flat[:, 0]].set(1.0)
+    for m, idxs, flat in sgroups:
+        eye = jnp.tile(jnp.eye(m, dtype=dtype).reshape(1, -1),
+                       (len(idxs), 1))
+        e = e.at[flat].set(eye)
     return e
 
 
@@ -174,37 +228,41 @@ def sprod(dims: ConeDims, x, y, diag: bool = False):
     l: elementwise product; q: (x'y, x0 y1 + y0 x1);
     s: (XY + YX)/2.  With diag=True the s blocks of x are assumed diagonal
     (the lambda vector), allowing a cheaper product — mirrors the reference's
-    `diag` flag (misc.py sprod).
+    `diag` flag (misc.py sprod).  Equal-size blocks are processed batched.
     """
     out = x * y  # correct for the l part; q/s parts overwritten below
-    for ofs, m in zip(dims.qofs, dims.q):
-        xb, yb = x[ofs:ofs + m], y[ofs:ofs + m]
-        head = jnp.dot(xb, yb)
-        tail = xb[0] * yb[1:] + yb[0] * xb[1:]
-        out = out.at[ofs].set(head)
-        out = out.at[ofs + 1:ofs + m].set(tail)
-    for ofs, m in zip(dims.sofs, dims.s):
-        X = x[ofs:ofs + m * m].reshape(m, m)
-        Y = y[ofs:ofs + m * m].reshape(m, m)
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        xb, yb = x[flat], y[flat]
+        head = jnp.sum(xb * yb, axis=1)
+        tail = xb[:, :1] * yb[:, 1:] + yb[:, :1] * xb[:, 1:]
+        out = out.at[flat].set(
+            jnp.concatenate([head[:, None], tail], axis=1))
+    for m, idxs, flat in sgroups:
+        X = x[flat].reshape(-1, m, m)
+        Y = y[flat].reshape(-1, m, m)
         if diag:
-            lam = jnp.diagonal(X)
-            Z = Y * 0.5 * (lam[:, None] + lam[None, :])
+            lam = jnp.diagonal(X, axis1=1, axis2=2)
+            Z = Y * 0.5 * (lam[:, :, None] + lam[:, None, :])
         else:
             Z = 0.5 * (X @ Y + Y @ X)
-        out = out.at[ofs:ofs + m * m].set(Z.reshape(-1))
+        out = out.at[flat].set(Z.reshape(-1, m * m))
     return out
 
 
 def ssqr(dims: ConeDims, x):
     """x o x (squared in the Jordan algebra)."""
     out = x * x
-    for ofs, m in zip(dims.qofs, dims.q):
-        xb = x[ofs:ofs + m]
-        out = out.at[ofs].set(jnp.dot(xb, xb))
-        out = out.at[ofs + 1:ofs + m].set(2.0 * xb[0] * xb[1:])
-    for ofs, m in zip(dims.sofs, dims.s):
-        X = x[ofs:ofs + m * m].reshape(m, m)
-        out = out.at[ofs:ofs + m * m].set((X @ X).reshape(-1))
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        xb = x[flat]
+        head = jnp.sum(xb * xb, axis=1)
+        tail = 2.0 * xb[:, :1] * xb[:, 1:]
+        out = out.at[flat].set(
+            jnp.concatenate([head[:, None], tail], axis=1))
+    for m, idxs, flat in sgroups:
+        X = x[flat].reshape(-1, m, m)
+        out = out.at[flat].set((X @ X).reshape(-1, m * m))
     return out
 
 
@@ -214,23 +272,22 @@ def sinv(dims: ConeDims, x, y):
     inverse product x := (y o\\ x), when the s components of y are
     diagonal')."""
     out = y / x  # l part
-    for ofs, m in zip(dims.qofs, dims.q):
-        xb, yb = x[ofs:ofs + m], y[ofs:ofs + m]
-        # Inverse of the arrow matrix Arw(x) = [[x0, x1'], [x1, x0 I]]:
-        #   a = x0^2 - ||x1||^2
-        #   Arw(x)^{-1} = (1/a) [[x0, -x1'], [-x1, (a I + x1 x1'/x0) / x0]]*a ...
-        a = jdot(xb)
-        c0 = (xb[0] * yb[0] - jnp.dot(xb[1:], yb[1:])) / a
-        c1 = (yb[1:] - c0 * xb[1:]) / xb[0]
-        # verify: x0*c0 + x1'c1 = y0;  c0 x1 + x0 c1 = y1
-        out = out.at[ofs].set(c0)
-        out = out.at[ofs + 1:ofs + m].set(c1)
-    for ofs, m in zip(dims.sofs, dims.s):
-        X = x[ofs:ofs + m * m].reshape(m, m)
-        Y = y[ofs:ofs + m * m].reshape(m, m)
-        lam = jnp.diagonal(X)
-        Z = Y * (2.0 / (lam[:, None] + lam[None, :]))
-        out = out.at[ofs:ofs + m * m].set(Z.reshape(-1))
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        xb, yb = x[flat], y[flat]
+        # Inverse of the arrow matrix Arw(x) = [[x0, x1'], [x1, x0 I]]
+        a = _jdot_b(xb)
+        c0 = (xb[:, 0] * yb[:, 0] -
+              jnp.sum(xb[:, 1:] * yb[:, 1:], axis=1)) / a
+        c1 = (yb[:, 1:] - c0[:, None] * xb[:, 1:]) / xb[:, :1]
+        out = out.at[flat].set(
+            jnp.concatenate([c0[:, None], c1], axis=1))
+    for m, idxs, flat in sgroups:
+        X = x[flat].reshape(-1, m, m)
+        Y = y[flat].reshape(-1, m, m)
+        lam = jnp.diagonal(X, axis1=1, axis2=2)
+        Z = Y * (2.0 / (lam[:, :, None] + lam[:, None, :]))
+        out = out.at[flat].set(Z.reshape(-1, m * m))
     return out
 
 
@@ -242,17 +299,20 @@ def sinv(dims: ConeDims, x, y):
 def max_step(dims: ConeDims, x):
     """min{t | x + t*e >= 0}: the negative of the distance of x to the cone
     boundary along e (reference misc_solvers.c:1042 max_step).  Negative iff
-    x is strictly inside the cone."""
+    x is strictly inside the cone.  s-block eigenvalues are computed with
+    one batched eigvalsh per equal-size group."""
     vals = []
     if dims.l:
         vals.append(-jnp.min(x[: dims.l]))
-    for ofs, m in zip(dims.qofs, dims.q):
-        xb = x[ofs:ofs + m]
-        vals.append(jnp.linalg.norm(xb[1:]) - xb[0])
-    for ofs, m in zip(dims.sofs, dims.s):
-        X = x[ofs:ofs + m * m].reshape(m, m)
-        w = jnp.linalg.eigvalsh(0.5 * (X + X.T))
-        vals.append(-w[0])
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        xb = x[flat]
+        vals.append(jnp.max(jnp.linalg.norm(xb[:, 1:], axis=1) -
+                            xb[:, 0]))
+    for m, idxs, flat in sgroups:
+        X = x[flat].reshape(-1, m, m)
+        w = jnp.linalg.eigvalsh(0.5 * (X + jnp.swapaxes(X, 1, 2)))
+        vals.append(-jnp.min(w))
     if not vals:
         return jnp.asarray(0.0, dtype=x.dtype)
     return jnp.max(jnp.stack(vals))
@@ -297,42 +357,52 @@ def compute_scaling(dims: ConeDims, s, z):
     if dims.l:
         lmbda = lmbda.at[: dims.l].set(jnp.sqrt(s[: dims.l] * z[: dims.l]))
 
-    betas, vs = [], []
-    for ofs, m in zip(dims.qofs, dims.q):
-        sb, zb = s[ofs:ofs + m], z[ofs:ofs + m]
-        aa, bb = jnrm2(sb), jnrm2(zb)
+    qgroups, sgroups = block_groups(dims)
+    betas = [None] * len(dims.q)
+    vs = [None] * len(dims.q)
+    for m, idxs, flat in qgroups:
+        sb, zb = s[flat], z[flat]                       # (c, m)
+        aa, bb = _jnrm2_b(sb), _jnrm2_b(zb)
         beta = jnp.sqrt(aa / bb)
-        s_ = sb / aa
-        z_ = zb / bb
-        gamma = jnp.sqrt((1.0 + jnp.dot(s_, z_)) / 2.0)
+        s_ = sb / aa[:, None]
+        z_ = zb / bb[:, None]
+        gamma = jnp.sqrt((1.0 + jnp.sum(s_ * z_, axis=1)) / 2.0)
         # Hyperbolic Householder construction: wbar = (s_ + J z_)/(2 gamma)
         # satisfies wbar'J wbar = 1 and (2 wbar wbar' - J) z_ = s_.  The NT
         # scaling needs the *square root* of that map, whose Householder
         # vector is v = (wbar + e)/sqrt(2 (wbar0 + 1)); then
         # W = beta (2 v v' - J) satisfies W^2 z = s.
-        Jz = jnp.concatenate([z_[:1], -z_[1:]])
-        wbar = (s_ + Jz) / (2.0 * gamma)
-        vb = wbar.at[0].add(1.0) / jnp.sqrt(2.0 * (wbar[0] + 1.0))
-        # lambda = W z = beta (2 v (v'z) - J z); scale-free form:
-        lam_b = _soc_apply(beta, vb, zb)
-        lmbda = lmbda.at[ofs:ofs + m].set(lam_b)
-        betas.append(beta)
-        vs.append(vb)
+        Jz = jnp.concatenate([z_[:, :1], -z_[:, 1:]], axis=1)
+        wbar = (s_ + Jz) / (2.0 * gamma[:, None])
+        vb = wbar.at[:, 0].add(1.0) / jnp.sqrt(
+            2.0 * (wbar[:, 0] + 1.0))[:, None]
+        # lambda = W z = beta (2 v (v'z) - J z)
+        Ju = jnp.concatenate([zb[:, :1], -zb[:, 1:]], axis=1)
+        lam_b = beta[:, None] * (
+            2.0 * vb * jnp.sum(vb * zb, axis=1)[:, None] - Ju)
+        lmbda = lmbda.at[flat].set(lam_b)
+        for j, k in enumerate(idxs):
+            betas[k] = beta[j]
+            vs[k] = vb[j]
 
-    rs, rtis = [], []
-    for ofs, m in zip(dims.sofs, dims.s):
-        S = s[ofs:ofs + m * m].reshape(m, m)
-        Z = z[ofs:ofs + m * m].reshape(m, m)
-        L1 = jnp.linalg.cholesky(0.5 * (S + S.T))
-        L2 = jnp.linalg.cholesky(0.5 * (Z + Z.T))
-        # SVD of L2' L1 = U diag(lam) V'
-        U, lam, Vt = jnp.linalg.svd(L2.T @ L1)
+    rs = [None] * len(dims.s)
+    rtis = [None] * len(dims.s)
+    for m, idxs, flat in sgroups:
+        S = s[flat].reshape(-1, m, m)
+        Z = z[flat].reshape(-1, m, m)
+        L1 = jnp.linalg.cholesky(0.5 * (S + jnp.swapaxes(S, 1, 2)))
+        L2 = jnp.linalg.cholesky(0.5 * (Z + jnp.swapaxes(Z, 1, 2)))
+        # SVD of L2' L1 = U diag(lam) V' (batched over the group)
+        U, lam, Vt = jnp.linalg.svd(jnp.swapaxes(L2, 1, 2) @ L1)
         isqrt = 1.0 / jnp.sqrt(lam)
-        r = L1 @ (Vt.T * isqrt[None, :])
-        rti = L2 @ (U * isqrt[None, :])
-        rs.append(r)
-        rtis.append(rti)
-        lmbda = lmbda.at[ofs:ofs + m * m].set(jnp.diag(lam).reshape(-1))
+        r = L1 @ (jnp.swapaxes(Vt, 1, 2) * isqrt[:, None, :])
+        rti = L2 @ (U * isqrt[:, None, :])
+        Lam = jnp.zeros_like(S).at[
+            :, jnp.arange(m), jnp.arange(m)].set(lam)
+        lmbda = lmbda.at[flat].set(Lam.reshape(-1, m * m))
+        for j, k in enumerate(idxs):
+            rs[k] = r[j]
+            rtis[k] = rti[j]
 
     return NTScaling(d=d, beta=tuple(betas), v=tuple(vs),
                      r=tuple(rs), rti=tuple(rtis)), lmbda
@@ -379,25 +449,36 @@ def scale(dims: ConeDims, W: NTScaling, u, trans: bool = False,
     if dims.l:
         dl = W.d if not inverse else 1.0 / W.d
         out = out.at[: dims.l].set(u[: dims.l] * dl)
-    for k, (ofs, m) in enumerate(zip(dims.qofs, dims.q)):
-        ub = u[ofs:ofs + m]
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        ub = u[flat]                                     # (c, m)
+        beta = jnp.stack([W.beta[k] for k in idxs])
+        v = jnp.stack([W.v[k] for k in idxs])
+        Ju = jnp.concatenate([ub[:, :1], -ub[:, 1:]], axis=1)
         if not inverse:
-            vb = _soc_apply(W.beta[k], W.v[k], ub)
+            vb = beta[:, None] * (
+                2.0 * v * jnp.sum(v * ub, axis=1)[:, None] - Ju)
         else:
-            vb = _soc_apply_inv(W.beta[k], W.v[k], ub)
-        out = out.at[ofs:ofs + m].set(vb)
-    for k, (ofs, m) in enumerate(zip(dims.sofs, dims.s)):
-        U = u[ofs:ofs + m * m].reshape(m, m)
-        r, rti = W.r[k], W.rti[k]
+            Jv = jnp.concatenate([v[:, :1], -v[:, 1:]], axis=1)
+            vb = (2.0 * Jv * jnp.sum(Jv * ub, axis=1)[:, None] -
+                  Ju) / beta[:, None]
+        out = out.at[flat].set(vb)
+    for m, idxs, flat in sgroups:
+        U = u[flat].reshape(-1, m, m)
+        if not inverse:
+            R = jnp.stack([W.r[k] for k in idxs])
+        else:
+            R = jnp.stack([W.rti[k] for k in idxs])
+        Rt = jnp.swapaxes(R, 1, 2)
         if not inverse and not trans:        # W u     = r' U r
-            V = r.T @ U @ r
+            V = Rt @ U @ R
         elif not inverse and trans:          # W' u    = r U r'
-            V = r @ U @ r.T
+            V = R @ U @ Rt
         elif inverse and not trans:          # W^{-1} u = rti U rti'
-            V = rti @ U @ rti.T
+            V = R @ U @ Rt
         else:                                # W^{-T} u = rti' U rti
-            V = rti.T @ U @ rti
-        out = out.at[ofs:ofs + m * m].set(V.reshape(-1))
+            V = Rt @ U @ R
+        out = out.at[flat].set(V.reshape(-1, m * m))
     return out
 
 
@@ -420,28 +501,36 @@ def scale2(dims: ConeDims, lmbda, u, inverse: bool = False):
       s: Lam^{-1/2} U Lam^{-1/2}  elementwise u_ij / sqrt(lam_i lam_j)
          (lambda's s blocks are diagonal).
     """
-    out = u * lmbda[: u.shape[0]] * 0 + u  # copy
+    out = u
     if dims.l:
         lam_l = lmbda[: dims.l]
         out = out.at[: dims.l].set(
             u[: dims.l] * lam_l if inverse else u[: dims.l] / lam_l)
-    for ofs, m in zip(dims.qofs, dims.q):
-        lam_b, ub = lmbda[ofs:ofs + m], u[ofs:ofs + m]
-        sq = _soc_sqrt(lam_b)
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        lam_b, ub = lmbda[flat], u[flat]                  # (c, m)
+        # batched Jordan square root of lambda
+        a = _jnrm2_b(lam_b)
+        head = jnp.sqrt((lam_b[:, 0] + a) / 2.0)
+        sq = jnp.concatenate(
+            [head[:, None], lam_b[:, 1:] / (2.0 * head[:, None])], axis=1)
         if inverse:
             w = sq
         else:
-            w = jnp.concatenate([sq[:1], -sq[1:]]) / jdot(sq)
-        Ju = jnp.concatenate([ub[:1], -ub[1:]])
-        vb = 2.0 * w * jnp.dot(w, ub) - jdot(w) * Ju
-        out = out.at[ofs:ofs + m].set(vb)
-    for ofs, m in zip(dims.sofs, dims.s):
-        lam_d = jnp.diagonal(lmbda[ofs:ofs + m * m].reshape(m, m))
-        U = u[ofs:ofs + m * m].reshape(m, m)
+            w = jnp.concatenate([sq[:, :1], -sq[:, 1:]],
+                                axis=1) / _jdot_b(sq)[:, None]
+        Ju = jnp.concatenate([ub[:, :1], -ub[:, 1:]], axis=1)
+        vb = (2.0 * w * jnp.sum(w * ub, axis=1)[:, None] -
+              _jdot_b(w)[:, None] * Ju)
+        out = out.at[flat].set(vb)
+    for m, idxs, flat in sgroups:
+        Lam = lmbda[flat].reshape(-1, m, m)
+        lam_d = jnp.diagonal(Lam, axis1=1, axis2=2)       # (c, m)
+        U = u[flat].reshape(-1, m, m)
         rt = jnp.sqrt(lam_d)
-        denom = rt[:, None] * rt[None, :]
+        denom = rt[:, :, None] * rt[:, None, :]
         V = U * denom if inverse else U / denom
-        out = out.at[ofs:ofs + m * m].set(V.reshape(-1))
+        out = out.at[flat].set(V.reshape(-1, m * m))
     return out
 
 
@@ -497,9 +586,11 @@ def symm(dims: ConeDims, u):
     """Symmetrize the s blocks of a cone vector (reference misc_solvers.c
     symm)."""
     out = u
-    for ofs, m in zip(dims.sofs, dims.s):
-        X = u[ofs:ofs + m * m].reshape(m, m)
-        out = out.at[ofs:ofs + m * m].set((0.5 * (X + X.T)).reshape(-1))
+    _, sgroups = block_groups(dims)
+    for m, idxs, flat in sgroups:
+        X = u[flat].reshape(-1, m, m)
+        out = out.at[flat].set(
+            (0.5 * (X + jnp.swapaxes(X, 1, 2))).reshape(-1, m * m))
     return out
 
 
@@ -512,17 +603,21 @@ def wtw_scale_cols(dims: ConeDims, W: NTScaling, G):
     out = G
     if dims.l:
         out = out.at[: dims.l, :].set(G[: dims.l, :] / W.d[:, None])
-    for k, (ofs, m) in enumerate(zip(dims.qofs, dims.q)):
-        B = G[ofs:ofs + m, :]
-        beta, v = W.beta[k], W.v[k]
-        Jv = jnp.concatenate([v[:1], -v[1:]])
-        JB = jnp.concatenate([B[:1, :], -B[1:, :]], axis=0)
-        V = (2.0 * jnp.outer(Jv, Jv @ B) - JB) / beta
-        out = out.at[ofs:ofs + m, :].set(V)
-    for k, (ofs, m) in enumerate(zip(dims.sofs, dims.s)):
-        B = G[ofs:ofs + m * m, :].reshape(m, m, n)
-        rti = W.rti[k]
-        # rti' X rti for every column X
-        V = jnp.einsum("ij,jkc,kl->ilc", rti.T, B, rti)
-        out = out.at[ofs:ofs + m * m, :].set(V.reshape(m * m, n))
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        B = G[flat, :]                                   # (c, m, n)
+        beta = jnp.stack([W.beta[k] for k in idxs])
+        v = jnp.stack([W.v[k] for k in idxs])
+        Jv = jnp.concatenate([v[:, :1], -v[:, 1:]], axis=1)
+        JB = jnp.concatenate([B[:, :1, :], -B[:, 1:, :]], axis=1)
+        JvB = jnp.einsum("cm,cmn->cn", Jv, B)
+        V = (2.0 * Jv[:, :, None] * JvB[:, None, :] -
+             JB) / beta[:, None, None]
+        out = out.at[flat, :].set(V)
+    for m, idxs, flat in sgroups:
+        B = G[flat, :].reshape(-1, m, m, n)
+        rti = jnp.stack([W.rti[k] for k in idxs])
+        # rti' X rti for every column X, batched over the group
+        V = jnp.einsum("cji,cjkn,ckl->ciln", rti, B, rti)
+        out = out.at[flat, :].set(V.reshape(-1, m * m, n))
     return out

@@ -138,50 +138,50 @@ def _kkt_chol2(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
 # fast path.  No reference counterpart — this is a build-side strategy.)
 # ---------------------------------------------------------------------------
 
-def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
-                     rtol_factor=50.0):
-    """Adaptive mixed-precision SPD solver: equilibrated float32 Cholesky
-    (the TPU MXU fast path) + float64 iterative refinement, with an
-    automatic float64-factor fallback when the measured refinement
-    contraction says f32 carries too little information (cond(Keq)
-    approaching 1/eps_f32 — the regime that capped the round-1
-    implementation at ~1e-6).
+def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
+                rtol_factor=50.0):
+    """Adaptive mixed-precision SPD solver core: equilibrated float32
+    Cholesky (the TPU MXU fast path) + float64 iterative refinement
+    against the *operator* kmul, with an automatic float64-factor
+    fallback when the measured refinement contraction says f32 carries
+    too little information (cond approaching 1/eps_f32 — the regime that
+    capped the round-1 implementation at ~1e-6).
 
-    The contraction is *measured* with a probe solve at factor time; the
-    f64 Cholesky is computed under lax.cond only when needed, so the IPM
-    pays emulated-f64 cost only in its final, most ill-conditioned
-    iterations.  Refinement runs as a residual-guarded lax.while_loop to
-    f64-level accuracy instead of a fixed 3-step unroll."""
-    from . import config
-    cdt = cdt or config.compute_dtype
-    n = K.shape[0]
-    eps64 = jnp.finfo(K.dtype).eps
-    if reg:
-        K = K + reg * jnp.eye(n, dtype=K.dtype)
-    dsc = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(K), 1e-300))
-    Keq = K * dsc[:, None] * dsc[None, :]
-    L32 = _chol_spd(Keq.astype(cdt), 0.0)
+    - kmul(x): exact (f64) matrix-vector product with the SPD matrix —
+      operator form, so the dense f64 matrix need never be built on the
+      fast path (emulated f64 matmuls are the TPU bottleneck).
+    - K32: the dense f32 matrix to factor (built with MXU matmuls).
+    - k64_build(): dense f64 matrix, evaluated under lax.cond only when
+      the fallback factorization is actually needed.
+
+    The contraction is *measured* with a probe solve at factor time;
+    refinement runs as a residual-guarded lax.while_loop with a stall
+    exit instead of a fixed unroll."""
+    eps64 = jnp.finfo(dtype).eps
+    dsc32 = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(K32), 1e-30))
+    Keq32 = K32 * dsc32[:, None] * dsc32[None, :]
+    L32 = _chol_spd(Keq32, 0.0)
+    dsc = dsc32.astype(dtype)
 
     def m_apply(r):
         # approximate K^{-1} r through the equilibrated f32 factor
-        return dsc * _chol_solve(L32, (dsc * r).astype(cdt)).astype(
-            K.dtype)
+        return dsc * _chol_solve(L32, (dsc * r).astype(
+            K32.dtype)).astype(dtype)
 
     # probe the actual refinement contraction rate
     b0 = dsc / jnp.linalg.norm(dsc)
     x0 = m_apply(b0)
-    r0 = b0 - K @ x0
+    r0 = b0 - kmul(x0)
     x1 = x0 + m_apply(r0)
-    r1 = b0 - K @ x1
+    r1 = b0 - kmul(x1)
     n0 = jnp.linalg.norm(r0)
     n1 = jnp.linalg.norm(r1)
     contr = n1 / jnp.maximum(n0, 1e-300)
     bad = (~jnp.isfinite(contr)) | (contr > 0.5) | (~jnp.isfinite(n0))
 
     L64 = jax.lax.cond(
-        bad,
-        lambda: jnp.linalg.cholesky(K),
-        lambda: jnp.zeros_like(K))
+        bad, lambda: jnp.linalg.cholesky(k64_build()),
+        lambda: jnp.zeros(K32.shape, dtype))
 
     def solve64(b):
         y = solve_triangular(L64, b, lower=True)
@@ -191,19 +191,25 @@ def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
         bn = jnp.linalg.norm(b)
         tol = rtol_factor * eps64 * jnp.maximum(bn, 1e-300)
         x = m_apply(b)
-        r = b - K @ x
+        r = b - kmul(x)
+        rn = jnp.linalg.norm(r)
 
         def cond_fn(c):
-            x_, r_, k = c
-            rn = jnp.linalg.norm(r_)
-            return (rn > tol) & (k < max_refine) & jnp.isfinite(rn)
+            x_, r_, rn_, prev, k = c
+            # continue while above tolerance, making >=10% progress per
+            # step (stall exit: emulated-f64 products floor the residual
+            # above the nominal eps64 target on TPU)
+            return ((rn_ > tol) & (k < max_refine) & jnp.isfinite(rn_) &
+                    (rn_ < 0.9 * prev))
 
         def body(c):
-            x_, r_, k = c
+            x_, r_, rn_, prev, k = c
             x_ = x_ + m_apply(r_)
-            return x_, b - K @ x_, k + 1
+            r_ = b - kmul(x_)
+            return x_, r_, jnp.linalg.norm(r_), rn_, k + 1
 
-        x, r, _ = jax.lax.while_loop(cond_fn, body, (x, r, jnp.int32(0)))
+        x, _, _, _, _ = jax.lax.while_loop(
+            cond_fn, body, (x, r, rn, jnp.inf, jnp.int32(0)))
         return x
 
     def ksolve(b):
@@ -212,16 +218,53 @@ def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
     return ksolve
 
 
+def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
+                     rtol_factor=50.0):
+    """Dense-matrix convenience wrapper around `_mixed_core` (used for
+    Schur complements and standalone SPD solves)."""
+    from . import config
+    cdt = cdt or config.compute_dtype
+    if reg:
+        K = K + reg * jnp.eye(K.shape[0], dtype=K.dtype)
+    return _mixed_core(lambda x: K @ x, K.astype(cdt), K.dtype,
+                       lambda: K, max_refine, rtol_factor)
+
+
 def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
     """Condensed normal equations with the adaptive mixed-precision SPD
-    solver (f32 MXU factors + measured-contraction f64 refinement +
-    automatic f64 fallback).  The TPU performance configuration at the
-    reference's 1e-7 tolerances (coneprog.py:440-454)."""
+    solver.  The TPU performance configuration at the reference's 1e-7
+    tolerances (coneprog.py:440-454): the O(N n^2) normal-equations
+    product K = P + Gs'Gs is formed in float32 on the MXU; float64 work
+    on the fast path is limited to O(N n) operator products inside the
+    refinement loop; the dense f64 K is built (and factored) under
+    lax.cond only in the rare ill-conditioned iterations."""
+    from . import config
+    cdt = config.compute_dtype
     n, p = G.shape[1], A.shape[0]
     Geff = _geff(G, Df, mnl)
     Gs = cones.wtw_scale_cols(edims, W, Geff)
-    K = _keff(P, H, n, G.dtype) + Gs.T @ Gs
-    ksolve = mixed_spd_solver(K, reg)
+    Gs32 = Gs.astype(cdt)
+    Kx32 = _keff(P, H, n, G.dtype).astype(cdt) + Gs32.T @ Gs32
+    if reg:
+        Kx32 = Kx32 + jnp.asarray(reg, cdt) * jnp.eye(n, dtype=cdt)
+
+    def kmul(x):
+        out = Gs.T @ (Gs @ x)
+        if P is not None:
+            out = out + P @ x
+        if H is not None:
+            out = out + H @ x
+        if reg:
+            out = out + reg * x
+        return out
+
+    def k64_build():
+        K = _keff(P, H, n, G.dtype) + Gs.T @ Gs
+        if reg:
+            K = K + reg * jnp.eye(n, dtype=G.dtype)
+        return K
+
+    ksolve = _mixed_core(kmul, Kx32, G.dtype, k64_build)
     if p:
         KiAt = jax.vmap(ksolve, in_axes=1, out_axes=1)(A.T)
         S = A @ KiAt

@@ -255,8 +255,12 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
             return dx, dy, dz, dtau, ds, dk
 
         def f6(bx, by, bz, bt, d_s, d_k):
-            dx, dy, dz, dtau, ds, dk = f6_no_ir(bx, by, bz, bt, d_s, d_k)
-            for _ in range(o.refinement):
+            d0 = f6_no_ir(bx, by, bz, bt, d_s, d_k)
+            if not o.refinement:
+                return d0
+
+            def refine(i, d):
+                dx, dy, dz, dtau, ds, dk = d
                 # r1 = bx - (G'dz + A'dy + dtau c)
                 t = xops.axpy(gmv(dz, trans=True), xops.scal(dtau, c))
                 if p:
@@ -279,9 +283,11 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
                 ex, ey, ez, et, es, ek = f6_no_ir(r1, r2, r3, r4, r5, r6)
                 dx = xops.axpy(ex, dx)
                 dy = yops.axpy(ey, dy) if p else dy
-                dz = dz + ez
-                dtau, ds, dk = dtau + et, ds + es, dk + ek
-            return dx, dy, dz, dtau, ds, dk
+                return (dx, dy, dz + ez, dtau + et, ds + es, dk + ek)
+
+            # fori_loop: one instance of the 6-var solve subgraph for all
+            # refinement passes (compile-time control)
+            return jax.lax.fori_loop(0, o.refinement, refine, d0)
 
         return f6
 
@@ -314,32 +320,47 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
             lmbdasq = cones.ssqr(dims, lmbda)
             mu = (cones.sdot(dims, lmbda, lmbda) + tau * kappa) / (deg + 1)
 
-            # affine direction: sigma = 0, full residual rhs
-            dxa, dya, dza, dta, dsa, dka = f6(
-                xops.scal(-1.0, rx), yops.scal(-1.0, ry), -rz, -rt,
-                -lmbdasq, -tau * kappa)
-            dsa_w = cones.scale(dims, W, dsa, trans=True, inverse=True)
-            dza_w = cones.scale(dims, W, dza)
-            t_cone = 1.0 / jnp.maximum(_inv_step(dims, lmbda, dsa_w, dza_w),
-                                       1e-30)
-            step_a = jnp.minimum(
-                1.0, jnp.minimum(t_cone, _tk_step(tau, kappa, dta, dka)))
-            sigma = jnp.clip(1.0 - step_a, 0.0, 1.0) ** EXPON
+            # Mehrotra predictor (i=0) then corrector (i=1) as one
+            # lax.scan so the 6-var solve subgraph is instanced once
+            # (compile-time control); step-limit quantities ride the
+            # carry between the phases.
+            def phase(carry, i):
+                (dxp, dyp, dzp, dtp, dsp, dkp,
+                 dsw_p, dzw_p, tlim_p) = carry
 
-            # combined direction
-            d_s = -lmbdasq - cones.sprod(dims, dsa_w, dza_w) + \
-                sigma * mu * e
-            d_k = -tau * kappa - dta * dka + sigma * mu
-            r = 1.0 - sigma
-            dx, dy, dz, dt, ds, dk = f6(
-                xops.scal(-r, rx), yops.scal(-r, ry), -r * rz, -r * rt,
-                d_s, d_k)
-            ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
-            dz_w = cones.scale(dims, W, dz)
-            t_cone = 1.0 / jnp.maximum(_inv_step(dims, lmbda, ds_w, dz_w),
-                                       1e-30)
-            step = STEP * jnp.minimum(t_cone, _tk_step(tau, kappa, dt, dk))
-            step = jnp.minimum(step, 1.0)
+                def affine_rhs(_):
+                    return (jnp.asarray(1.0, rz.dtype), -lmbdasq,
+                            -tau * kappa)
+
+                def combined_rhs(cargs):
+                    dsw, dzw, dtp_, dkp_, tlim = cargs
+                    step_a = jnp.minimum(1.0, tlim)
+                    sigma = jnp.clip(1.0 - step_a, 0.0, 1.0) ** EXPON
+                    d_s = -lmbdasq - cones.sprod(dims, dsw, dzw) + \
+                        sigma * mu * e
+                    d_k = -tau * kappa - dtp_ * dkp_ + sigma * mu
+                    return 1.0 - sigma, d_s, d_k
+
+                r, d_s, d_k = jax.lax.cond(
+                    i == 0, affine_rhs, combined_rhs,
+                    (dsw_p, dzw_p, dtp, dkp, tlim_p))
+                dx, dy, dz, dt, ds, dk = f6(
+                    xops.scal(-r, rx), yops.scal(-r, ry), -r * rz,
+                    -r * rt, d_s, d_k)
+                ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
+                dz_w = cones.scale(dims, W, dz)
+                t_cone = 1.0 / jnp.maximum(
+                    _inv_step(dims, lmbda, ds_w, dz_w), 1e-30)
+                tlim = jnp.minimum(t_cone, _tk_step(tau, kappa, dt, dk))
+                return (dx, dy, dz, dt, ds, dk, ds_w, dz_w, tlim), None
+
+            zero_carry = (xops.zero(x), yops.zero(y), jnp.zeros_like(z),
+                          jnp.zeros_like(tau), jnp.zeros_like(s),
+                          jnp.zeros_like(kappa), jnp.zeros_like(s),
+                          jnp.zeros_like(z), jnp.zeros_like(tau))
+            (dx, dy, dz, dt, ds, dk, _, _, tlim), _ = jax.lax.scan(
+                phase, zero_carry, jnp.arange(2))
+            step = jnp.minimum(STEP * tlim, 1.0)
 
             xn = xops.axpy(dx, x, step)
             yn = yops.axpy(dy, y, step) if p else y

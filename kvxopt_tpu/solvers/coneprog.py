@@ -405,8 +405,12 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
         bz = -rz - cones.scale(dims, W, tmp, trans=True)  # -rz - W'(la\d)
 
         def kkt_solve(bx, by, bzv):
-            dx, dy, dz = solve(bx, by, bzv)
-            for _ in range(o.refinement):
+            d0 = solve(bx, by, bzv)
+            if not o.refinement:
+                return d0
+
+            def refine(i, d):
+                dx, dy, dz = d
                 # r1 = bx - (P dx + A'dy + G'dz)   (x-space)
                 t = pmv(dx)
                 if p:
@@ -421,8 +425,11 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
                 ex, ey, ez = solve(r1, r2, r3)
                 dx = xops.axpy(ex, dx)
                 dy = yops.axpy(ey, dy) if p else dy
-                dz = dz + ez
-            return dx, dy, dz
+                return dx, dy, dz + ez
+
+            # fori_loop so the KKT-solve subgraph is instanced once for
+            # all refinement passes (compile-time control)
+            return jax.lax.fori_loop(0, o.refinement, refine, d0)
 
         dx, dy, dz = kkt_solve(xops.scal(-1.0, rx),
                                yops.scal(-1.0, ry), bz)
@@ -485,24 +492,45 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
             lmbdasq = cones.ssqr(dims, lmbda)
             mu = m.gap / deg
 
-            # affine scaling direction
-            dxa, dya, dza, dsa = newton(solve, lmbda, W, rx, ry, rz, -lmbdasq)
-            dsa_w = cones.scale(dims, W, dsa, trans=True, inverse=True)
-            dza_w = cones.scale(dims, W, dza)
-            step_a = _max_feasible_step(dims, lmbda, dsa_w, dza_w, 1.0)
-            mu_aff = cones.sdot(dims, s + step_a * dsa,
-                                z + step_a * dza) / deg
-            sigma = jnp.clip(mu_aff / mu, 0.0, 1.0) ** EXPON
+            # Mehrotra predictor (i=0) then corrector (i=1) as one
+            # lax.scan so the Newton-solve subgraph is instanced once
+            # (compile-time control); the step-limit quantities ride the
+            # carry between the two phases.
+            def phase(carry, i):
+                dxp, dyp, dzp, dsp, dsw_p, dzw_p, tinv_p = carry
 
-            # combined direction with Mehrotra correction
-            d_c = -lmbdasq - cones.sprod(dims, dsa_w, dza_w) + \
-                sigma * mu * e
-            dx, dy, dz, ds = newton(solve, lmbda, W, rx, ry, rz, d_c)
-            ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
-            dz_w = cones.scale(dims, W, dz)
-            step = STEP * _max_feasible_step(dims, lmbda, ds_w, dz_w,
-                                             1.0 / STEP)
-            step = jnp.minimum(step, 1.0)
+                def affine_target(_):
+                    return -lmbdasq
+
+                def combined_target(c):
+                    dsp_, dzp_, dsw, dzw, tinv = c
+                    stp = jnp.where(tinv <= 0.0, 1.0,
+                                    jnp.minimum(1.0, 1.0 / tinv))
+                    mu_aff = cones.sdot(dims, s + stp * dsp_,
+                                        z + stp * dzp_) / deg
+                    sigma = jnp.clip(mu_aff / mu, 0.0, 1.0) ** EXPON
+                    return (-lmbdasq - cones.sprod(dims, dsw, dzw) +
+                            sigma * mu * e)
+
+                d_t = jax.lax.cond(i == 0, affine_target, combined_target,
+                                   (dsp, dzp, dsw_p, dzw_p, tinv_p))
+                dx, dy, dz, ds = newton(solve, lmbda, W, rx, ry, rz, d_t)
+                ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
+                dz_w = cones.scale(dims, W, dz)
+                ts = cones.max_step(dims, cones.scale2(dims, lmbda, ds_w))
+                tz = cones.max_step(dims, cones.scale2(dims, lmbda, dz_w))
+                tinv = jnp.maximum(jnp.maximum(ts, tz), 0.0)
+                return (dx, dy, dz, ds, ds_w, dz_w, tinv), None
+
+            zero_carry = (xops.zero(x), yops.zero(y), jnp.zeros_like(z),
+                          jnp.zeros_like(s), jnp.zeros_like(s),
+                          jnp.zeros_like(z), jnp.asarray(0.0, dtype))
+            (dx, dy, dz, ds, ds_w, dz_w, tinv), _ = jax.lax.scan(
+                phase, zero_carry, jnp.arange(2))
+            step = jnp.minimum(
+                STEP * jnp.where(tinv <= 0.0, 1.0 / STEP,
+                                 jnp.minimum(1.0 / STEP, 1.0 / tinv)),
+                1.0)
 
             xn = xops.axpy(dx, x, step)
             yn = yops.axpy(dy, y, step) if p else y
