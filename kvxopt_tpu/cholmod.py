@@ -8,12 +8,23 @@ read at call time (cholmod.c:50-108): options['supernodal'] != 0 demands
 positive definiteness (LL' semantics, ArithmeticError otherwise);
 options['supernodal'] == 0 permits indefinite LDL'.
 
+Supernodal DEVICE path (the TPU-native equivalent of CHOLMOD's
+supernodal numeric phase, cholmod.c:50-108): with
+options['supernodal'] != 0 and options['device'] truthy ('auto' uses the
+device whenever the default jax backend is an accelerator), numeric
+factorization runs the tile-supernodal MXU kernel (ops/tile_chol.py —
+one lax.scan over the block-column op table): symbolic tile analysis
+happens once, repeated `numeric(A, F)` calls are device-side value-only
+refactorization.  The device path serves solve(sys=0), spsolve,
+linsolve, splinsolve, diag and getfactor; the split-system solves
+(sys=1..6) use the simplicial host factor.
+
 Repeated `numeric(A, F)` calls on the same symbolic object reuse the
 factor pattern and only recompute values (free fast-refactorization, the
 analogue of CHOLMOD's separate symbolic/numeric phases).
 
 Supports 'd' (symmetric) and 'z' (Hermitian LDL^H with real D)
-matrices.
+matrices; the device path is real ('d') only.
 """
 
 import numpy as np
@@ -25,7 +36,15 @@ from ._sparse import canon_csc
 from .native import lib
 from . import amd as _amd
 
-options = {"supernodal": 2}
+options = {"supernodal": 2, "device": "auto", "tilesize": 128}
+
+
+def _device_active():
+    dev = options.get("device", "auto")
+    if dev == "auto":
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    return bool(dev)
 
 
 class CholSymbolic:
@@ -66,6 +85,11 @@ class CholSymbolic:
 
     def factorize(self, A):
         cp, ri, vx = self._permuted_lower(A)
+        if (options.get("supernodal", 2) != 0 and not self.is_complex
+                and _device_active()):
+            self._factorize_device(cp, ri, vx)
+            return
+        self._device = False
         fac = getattr(lib, "ldl_factor" + self._sfx)
         refac = getattr(lib, "ldl_refactor" + self._sfx)
         if self._handle is None:
@@ -82,12 +106,58 @@ class CholSymbolic:
                 raise ArithmeticError("matrix is not positive definite")
         self._numeric = True
 
+    def _factorize_device(self, cp, ri, vx):
+        """Supernodal numeric factorization on device: tile-pattern
+        symbolic analysis once, then the lax.scan MXU numeric kernel
+        (ops/tile_chol.py); repeat calls are device refactorization."""
+        import jax
+        import jax.numpy as jnp
+        from .ops.tile_chol import TileCholesky, tile_pattern_from_sparse
+        low = _sp.csc_matrix((vx, ri, cp), shape=(self.n, self.n))
+        if getattr(self, "_tile", None) is None:
+            ts = int(options.get("tilesize", 128))
+            pattern = tile_pattern_from_sparse(low, ts)
+            self._tile = TileCholesky(pattern, self.n, ts)
+            self._jfactor = jax.jit(self._tile.factor)
+            self._jsolve = jax.jit(jax.vmap(self._tile.solve,
+                                            in_axes=(None, 1),
+                                            out_axes=1))
+        X = self._tile.tiles_from_csc(low)
+        Xf = self._jfactor(jnp.asarray(X))
+        Ld = self._diag_of_tiles(Xf)
+        if not bool(np.isfinite(Ld).all()) or bool((Ld <= 0).any()):
+            raise ArithmeticError("matrix is not positive definite")
+        self._X = Xf
+        self._device = True
+        self._numeric = True
+
+    def _diag_of_tiles(self, Xf):
+        """diag(L) from the factored tiles (host)."""
+        t = self._tile
+        out = np.zeros(t.T * t.ts)
+        Xh = np.asarray(Xf)
+        for j in range(t.T):
+            blk = Xh[t.slot[(j, j)]]
+            out[j * t.ts:(j + 1) * t.ts] = np.diagonal(blk)
+        return out[: self.n]
+
     def Dvals(self):
+        if getattr(self, "_device", False):
+            return self._diag_of_tiles(self._X) ** 2  # LL' -> D = diag(L)^2
         D = np.zeros(self.n, np.float64)
         getattr(lib, "ldl_diag" + self._sfx)(self._handle, D)
         return D
 
     def solve_permuted(self, barr, mode):
+        if getattr(self, "_device", False):
+            if mode != 0:
+                raise NotImplementedError(
+                    "split-system solves (sys=1..6) require the "
+                    "simplicial host factor; set "
+                    "cholmod.options['device'] = False")
+            out = np.asarray(self._jsolve(
+                self._X, np.ascontiguousarray(barr, dtype=np.float64)))
+            return out
         dtype = np.complex128 if self.is_complex else np.float64
         work = np.ascontiguousarray(barr.T, dtype=dtype)
         getattr(lib, "ldl_solve" + self._sfx)(self._handle, work,
@@ -96,6 +166,10 @@ class CholSymbolic:
 
     def get_L(self):
         n = self.n
+        if getattr(self, "_device", False):
+            Ld = np.asarray(self._tile.dense_from_tiles(self._X))
+            Lm = _sp.csc_matrix(np.tril(Ld))
+            return Lm, np.ones(n)
         nnz = getattr(lib, "ldl_lnnz" + self._sfx)(self._handle)
         Lp = np.zeros(n + 1, np.int64)
         Li = np.zeros(nnz, np.int64)

@@ -318,6 +318,15 @@ def max_step(dims: ConeDims, x):
     return jnp.max(jnp.stack(vals))
 
 
+def max_step2(dims: ConeDims, u, v):
+    """max_step of two cone vectors with the eigendecomposition batched
+    across both (one eigvalsh instance in the graph instead of two —
+    XLA TPU expands each eigh into a large subprogram, so instance count
+    drives compile time)."""
+    both = jax.vmap(lambda w: max_step(dims, w))(jnp.stack([u, v]))
+    return both[0], both[1]
+
+
 # ---------------------------------------------------------------------------
 # Nesterov-Todd scaling
 # ---------------------------------------------------------------------------
@@ -390,8 +399,10 @@ def compute_scaling(dims: ConeDims, s, z):
     for m, idxs, flat in sgroups:
         S = s[flat].reshape(-1, m, m)
         Z = z[flat].reshape(-1, m, m)
-        L1 = jnp.linalg.cholesky(0.5 * (S + jnp.swapaxes(S, 1, 2)))
-        L2 = jnp.linalg.cholesky(0.5 * (Z + jnp.swapaxes(Z, 1, 2)))
+        # one batched cholesky instance for both S and Z blocks
+        LL = jnp.linalg.cholesky(0.5 * jnp.concatenate(
+            [S + jnp.swapaxes(S, 1, 2), Z + jnp.swapaxes(Z, 1, 2)]))
+        L1, L2 = LL[: S.shape[0]], LL[S.shape[0]:]
         # SVD of L2' L1 = U diag(lam) V' (batched over the group)
         U, lam, Vt = jnp.linalg.svd(jnp.swapaxes(L2, 1, 2) @ L1)
         isqrt = 1.0 / jnp.sqrt(lam)

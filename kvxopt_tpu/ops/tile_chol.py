@@ -88,6 +88,36 @@ class TileCholesky:
                                         self.slot[(j, k)]))
             self.upd.append(triples)
 
+        # padded op tables for the lax.scan numeric kernel: one extra
+        # scratch slot (index NT) absorbs padding reads/writes, one extra
+        # scratch row-tile (index T) absorbs padded solve updates
+        U = max((len(t) for t in self.upd), default=0)
+        R = max((len(r) for r in self.col_rows), default=0)
+        self.maxU, self.maxR = U, R
+        dummy = self.NT
+        T_ = T
+
+        def pad(lst, size, fill):
+            return list(lst) + [fill] * (size - len(lst))
+
+        self.tab_dst = np.array(
+            [pad([t[0] for t in self.upd[j]], U, dummy)
+             for j in range(T_)], dtype=np.int32).reshape(T_, U)
+        self.tab_a = np.array(
+            [pad([t[1] for t in self.upd[j]], U, dummy)
+             for j in range(T_)], dtype=np.int32).reshape(T_, U)
+        self.tab_b = np.array(
+            [pad([t[2] for t in self.upd[j]], U, dummy)
+             for j in range(T_)], dtype=np.int32).reshape(T_, U)
+        self.tab_diag = np.array(
+            [self.slot[(j, j)] for j in range(T_)], dtype=np.int32)
+        self.tab_cols = np.array(
+            [pad(self.col_slots[j], R, dummy) for j in range(T_)],
+            dtype=np.int32).reshape(T_, R)
+        self.tab_rows = np.array(
+            [pad(self.col_rows[j], R, T_) for j in range(T_)],
+            dtype=np.int32).reshape(T_, R)
+
     # -- host <-> tile conversion ---------------------------------------
 
     def tiles_from_dense(self, A):
@@ -101,6 +131,30 @@ class TileCholesky:
             Ap[i * ts:(i + 1) * ts, j * ts:(j + 1) * ts]
             for (i, j) in self.tiles])
         return out
+
+    def tiles_from_csc(self, low):
+        """Host conversion of a (lower-triangular) scipy CSC matrix into
+        the tile array (padding edge tiles; unit diagonal on pad rows so
+        the factorization of the padded matrix is well-posed)."""
+        import scipy.sparse as sp
+        ts, T, n = self.ts, self.T, self.n
+        X = np.zeros((self.NT, ts, ts), dtype=np.float64)
+        low = sp.csr_matrix(low)
+        for k, (i, j) in enumerate(self.tiles):
+            r0, r1 = i * ts, min((i + 1) * ts, n)
+            c0, c1 = j * ts, min((j + 1) * ts, n)
+            if r0 < n and c0 < n:
+                X[k, : r1 - r0, : c1 - c0] = \
+                    low[r0:r1, c0:c1].toarray()
+            if i == j:
+                # jnp.linalg.cholesky reads the full matrix: mirror the
+                # stored lower triangle of diagonal tiles
+                blk = X[k]
+                X[k] = np.tril(blk) + np.tril(blk, -1).T
+                if r1 - r0 < ts:
+                    for d in range(max(r1 - r0, 0), ts):
+                        X[k, d, d] = 1.0
+        return X
 
     def dense_from_tiles(self, X):
         ts, T, n = self.ts, self.T, self.n
@@ -116,55 +170,88 @@ class TileCholesky:
     def factor(self, X):
         """Numeric tile Cholesky: X (NT, ts, ts) tiles of the lower
         triangle of A -> tiles of L (diagonal tiles lower-triangular).
-        Pure jax; jit/refactor freely."""
-        for j in range(self.T):
-            if self.upd[j]:
-                dst, a, b = (np.array([t[k] for t in self.upd[j]],
-                                      dtype=np.int32)
-                             for k in range(3))
+        Pure jax; jit/refactor freely.
+
+        One lax.scan over the per-column op table (padded to the maximum
+        column update/row counts, with a scratch slot absorbing the
+        padding) — the scan body is instanced once, so compile time is
+        flat in the tile count (ROADMAP round-1 item 5)."""
+        ts = self.ts
+        NT = self.NT
+        Xe = jnp.concatenate(
+            [X, jnp.zeros((1, ts, ts), X.dtype)], axis=0)
+        tabs = (jnp.asarray(self.tab_dst), jnp.asarray(self.tab_a),
+                jnp.asarray(self.tab_b), jnp.asarray(self.tab_diag),
+                jnp.asarray(self.tab_cols))
+
+        def body(Xc, tab):
+            dst, a, b, dj, slots = tab
+            if self.maxU:
                 upd = jax.lax.dot_general(
-                    X[a], X[b],
+                    Xc[a], Xc[b],
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=X.dtype)
-                X = X.at[dst].add(-upd)
-            djj = self.slot[(j, j)]
-            Ljj = jnp.linalg.cholesky(X[djj])
-            X = X.at[djj].set(Ljj)
-            slots = np.asarray(self.col_slots[j], dtype=np.int32)
-            if len(slots):
+                    preferred_element_type=Xc.dtype)
+                Xc = Xc.at[dst].add(-upd)
+                Xc = Xc.at[NT].set(0.0)  # re-zero the scratch slot
+            Ljj = jnp.linalg.cholesky(Xc[dj])
+            Xc = Xc.at[dj].set(Ljj)
+            if self.maxR:
+                col = Xc[slots]
                 # X[ij] := X[ij] L_jj^{-T}: solve X L' = B
-                col = X[slots]
                 sol = triangular_solve(
-                    jnp.broadcast_to(Ljj, (len(slots),) + Ljj.shape),
-                    col, left_side=False, lower=True,
-                    transpose_a=True)
-                X = X.at[slots].set(sol)
-        return X
+                    jnp.broadcast_to(Ljj, col.shape), col,
+                    left_side=False, lower=True, transpose_a=True)
+                Xc = Xc.at[slots].set(sol)
+                Xc = Xc.at[NT].set(0.0)
+            return Xc, None
+
+        Xe, _ = jax.lax.scan(body, Xe, tabs)
+        return Xe[:NT]
 
     def solve(self, X, bvec):
-        """Solve A x = b given factored tiles X."""
+        """Solve A x = b given factored tiles X (block forward + backward
+        substitution, each one lax.scan over the padded op table)."""
         ts, T, n = self.ts, self.T, self.n
         npad = T * ts
+        NT = self.NT
+        Xe = jnp.concatenate(
+            [X, jnp.zeros((1, ts, ts), X.dtype)], axis=0)
         b = jnp.zeros((npad,), bvec.dtype).at[:n].set(bvec)
-        y = b.reshape(T, ts)
-        # forward: L y = b (block forward substitution)
-        for j in range(T):
-            djj = self.slot[(j, j)]
-            yj = triangular_solve(X[djj], y[j][:, None], left_side=True,
-                                  lower=True)[:, 0]
-            y = y.at[j].set(yj)
-            for i, s in zip(self.col_rows[j], self.col_slots[j]):
-                y = y.at[i].add(-X[s] @ yj)
-        # backward: L' x = y
-        for j in range(T - 1, -1, -1):
-            acc = y[j]
-            for i, s in zip(self.col_rows[j], self.col_slots[j]):
-                acc = acc - X[s].T @ y[i]
-            djj = self.slot[(j, j)]
-            xj = triangular_solve(X[djj], acc[:, None], left_side=True,
+        # one scratch row-tile (index T) absorbs padded updates
+        y = jnp.concatenate([b.reshape(T, ts),
+                             jnp.zeros((1, ts), bvec.dtype)], axis=0)
+        jidx = jnp.arange(T, dtype=jnp.int32)
+        tabs = (jidx, jnp.asarray(self.tab_diag),
+                jnp.asarray(self.tab_cols), jnp.asarray(self.tab_rows))
+
+        # forward: L y = b
+        def fwd(yc, tab):
+            j, dj, slots, rows = tab
+            yj = triangular_solve(Xe[dj], yc[j][:, None],
+                                  left_side=True, lower=True)[:, 0]
+            yc = yc.at[j].set(yj)
+            if self.maxR:
+                upd = jnp.einsum("rij,j->ri", Xe[slots], yj)
+                yc = yc.at[rows].add(-upd)
+                yc = yc.at[T].set(0.0)
+            return yc, None
+
+        y, _ = jax.lax.scan(fwd, y, tabs)
+
+        # backward: L' x = y (reverse order)
+        def bwd(yc, tab):
+            j, dj, slots, rows = tab
+            if self.maxR:
+                acc = yc[j] - jnp.einsum("rji,rj->i", Xe[slots],
+                                         yc[rows])
+            else:
+                acc = yc[j]
+            xj = triangular_solve(Xe[dj], acc[:, None], left_side=True,
                                   lower=True, transpose_a=True)[:, 0]
-            y = y.at[j].set(xj)
-        return y.reshape(-1)[:n]
+            return yc.at[j].set(xj), None
+
+        y, _ = jax.lax.scan(bwd, y, tabs, reverse=True)
+        return y[:T].reshape(-1)[:n]
 
 
 def tile_pattern_from_sparse(A, ts=128):

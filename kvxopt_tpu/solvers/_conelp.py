@@ -169,6 +169,19 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
     def initial_point():
         W0 = cones.identity_scaling(dims, dtype)
         solve0 = factor(W0)
+        if primalstart is None and dualstart is None:
+            # common path: one batched eigendecomposition for both
+            # boundary distances
+            x0, _, z0p = solve0(xops.zero(c), b, h)
+            s0 = -z0p
+            x1, y0, z0 = solve0(xops.scal(-1.0, c), yops.zero(b),
+                                jnp.zeros((dims.size,), dtype))
+            ts, tz = cones.max_step2(dims, s0, z0)
+            s0 = jnp.where(ts >= -1e-8 * jnp.maximum(1.0, jnp.abs(ts)),
+                           s0 + (1.0 + ts) * e, s0)
+            z0 = jnp.where(tz >= -1e-8 * jnp.maximum(1.0, jnp.abs(tz)),
+                           z0 + (1.0 + tz) * e, z0)
+            return x0, y0, s0, z0
         if primalstart is None:
             x0, _, z0 = solve0(xops.zero(c), b, h)
             s0 = -z0
@@ -461,9 +474,10 @@ def _conelp_result(state, c, h, b, dims, xops: VecOps = DEFAULT_VECOPS,
 
 
 def _inv_step(dims, lmbda, ds_w, dz_w):
-    """max(ts, tz, 0): reciprocal of the max feasible cone step."""
-    ts = cones.max_step(dims, cones.scale2(dims, lmbda, ds_w))
-    tz = cones.max_step(dims, cones.scale2(dims, lmbda, dz_w))
+    """max(ts, tz, 0): reciprocal of the max feasible cone step (one
+    batched eigendecomposition for both directions)."""
+    ts, tz = cones.max_step2(dims, cones.scale2(dims, lmbda, ds_w),
+                             cones.scale2(dims, lmbda, dz_w))
     return jnp.maximum(jnp.maximum(ts, tz), 0.0)
 
 

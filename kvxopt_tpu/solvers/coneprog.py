@@ -197,9 +197,10 @@ DEFAULT_VECOPS = VecOps()
 def _max_feasible_step(dims, lmbda, ds_w, dz_w, limit):
     """Largest step a with s + a ds, z + a dz in the cone, given the
     W-scaled directions ds_w = W^{-T}ds, dz_w = W dz, capped at `limit` and
-    damped by nothing (caller applies STEP)."""
-    ts = cones.max_step(dims, cones.scale2(dims, lmbda, ds_w))
-    tz = cones.max_step(dims, cones.scale2(dims, lmbda, dz_w))
+    damped by nothing (caller applies STEP).  One batched
+    eigendecomposition for both directions."""
+    ts, tz = cones.max_step2(dims, cones.scale2(dims, lmbda, ds_w),
+                             cones.scale2(dims, lmbda, dz_w))
     t = jnp.maximum(jnp.maximum(ts, tz), 0.0)
     return jnp.where(t <= 0.0, limit, jnp.minimum(limit, 1.0 / t))
 
@@ -445,10 +446,9 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
         solve0 = factor(W0)
         x0, y0, z0 = solve0(xops.scal(-1.0, q), b, h)
         s0 = -z0
-        ts = cones.max_step(dims, s0)
+        ts, tz = cones.max_step2(dims, s0, z0)
         s0 = jnp.where(ts >= -1e-8 * jnp.maximum(1.0, jnp.abs(ts)),
                        s0 + (1.0 + ts) * e, s0)
-        tz = cones.max_step(dims, z0)
         z0 = jnp.where(tz >= -1e-8 * jnp.maximum(1.0, jnp.abs(tz)),
                        z0 + (1.0 + tz) * e, z0)
         return x0, y0, s0, z0
@@ -517,8 +517,9 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
                 dx, dy, dz, ds = newton(solve, lmbda, W, rx, ry, rz, d_t)
                 ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
                 dz_w = cones.scale(dims, W, dz)
-                ts = cones.max_step(dims, cones.scale2(dims, lmbda, ds_w))
-                tz = cones.max_step(dims, cones.scale2(dims, lmbda, dz_w))
+                ts, tz = cones.max_step2(
+                    dims, cones.scale2(dims, lmbda, ds_w),
+                    cones.scale2(dims, lmbda, dz_w))
                 tinv = jnp.maximum(jnp.maximum(ts, tz), 0.0)
                 return (dx, dy, dz, ds, ds_w, dz_w, tinv), None
 
