@@ -403,10 +403,20 @@ def compute_scaling(dims: ConeDims, s, z):
         LL = jnp.linalg.cholesky(0.5 * jnp.concatenate(
             [S + jnp.swapaxes(S, 1, 2), Z + jnp.swapaxes(Z, 1, 2)]))
         L1, L2 = LL[: S.shape[0]], LL[S.shape[0]:]
-        # SVD of L2' L1 = U diag(lam) V' (batched over the group)
-        U, lam, Vt = jnp.linalg.svd(jnp.swapaxes(L2, 1, 2) @ L1)
+        # SVD of B = L2'L1 = U diag(lam) V', computed via the
+        # eigendecomposition of the Gram matrix B'B = Q diag(lam^2) Q'
+        # (V = Q, U = B Q diag(1/lam)).  XLA's TPU svd expands to a far
+        # larger subprogram than eigh (16s vs 2s compile per instance),
+        # and the IPM's iterative refinement absorbs the normal-equations
+        # accuracy loss (~eps * cond) in the final iterations.
+        B = jnp.swapaxes(L2, 1, 2) @ L1
+        sig, Q = jnp.linalg.eigh(jnp.swapaxes(B, 1, 2) @ B)
+        sig = jnp.maximum(sig[:, ::-1], 1e-300)   # descending, like svd
+        Q = Q[:, :, ::-1]
+        lam = jnp.sqrt(sig)
         isqrt = 1.0 / jnp.sqrt(lam)
-        r = L1 @ (jnp.swapaxes(Vt, 1, 2) * isqrt[:, None, :])
+        U = B @ (Q / lam[:, None, :])
+        r = L1 @ (Q * isqrt[:, None, :])
         rti = L2 @ (U * isqrt[:, None, :])
         Lam = jnp.zeros_like(S).at[
             :, jnp.arange(m), jnp.arange(m)].set(lam)

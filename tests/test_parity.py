@@ -1,5 +1,29 @@
 """Asserts the PARITY.md symbol inventory: every public symbol of the
-reference's modules (SURVEY.md section 2 tables) exists here."""
+reference's modules (SURVEY.md section 2 tables) exists here.
+
+THIS FILE IS EXISTENCE-ONLY — it proves nothing about behavior.  The
+behavioral tests that back each module's symbols:
+
+    kvxopt_tpu (facade)      -> tests/test_base.py
+    kvxopt_tpu.blas/lapack   -> tests/test_blas_lapack.py (value checks
+                                against scipy/numpy oracles)
+    kvxopt_tpu.misc_solvers,
+    kvxopt_tpu.misc (cones)  -> tests/test_cones.py (NT identity
+                                property tests), tests/test_kkt.py
+    kvxopt_tpu.solvers       -> tests/test_conelp.py, test_coneqp.py,
+                                test_cvxprog.py, test_custom_kkt.py,
+                                test_examples.py (userguide optima)
+    umfpack/klu/cholmod/amd  -> tests/test_sparse_solvers.py (factor
+                                identities on real .mtx data),
+                                tests/test_tile_chol.py (device path)
+    fftw                     -> tests/test_fftw.py
+    glpk/osqp/dsdp           -> tests/test_bridges.py
+    msk / gurobi             -> tests/test_msk_bridge.py,
+                                tests/test_gurobi_bridge.py (fake
+                                in-process backends)
+    modeling / mps           -> tests/test_modeling.py
+    parallel (build-side)    -> tests/test_parallel.py
+"""
 
 import importlib
 
