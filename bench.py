@@ -193,6 +193,85 @@ def cpu_ipm_baseline():
         return None
 
 
+LARGE_N, LARGE_M = 512, 1024  # single-instance IPM at reference tolerances
+
+
+def _large_problem(seed, n=LARGE_N, m=LARGE_M):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n))
+    P = M @ M.T + n * np.eye(n)
+    q = rng.standard_normal(n)
+    G = rng.standard_normal((m, n))
+    h = G @ rng.standard_normal(n) + rng.uniform(0.5, 1.5, m)
+    return P, q, G, h
+
+
+def ipm_large_tpu():
+    """Single full coneqp at n=512, m=1024, reference tolerances
+    (abstol/feastol 1e-7), through the adaptive mixed-precision KKT
+    (f32 MXU factorizations + f64 refinement + automatic f64 fallback)."""
+    import jax
+    import jax.numpy as jnp
+    from kvxopt_tpu.cones import ConeDims
+    from kvxopt_tpu.parallel.batch import make_qp_solver
+    from kvxopt_tpu.solvers.coneprog import Options
+
+    dims = ConeDims(l=LARGE_M)
+    o = Options(refinement=1).resolve_refinement(dims)
+    vs = jax.jit(make_qp_solver(dims, "chol2_mixed", o))
+    args = tuple(jnp.asarray(a, jnp.float64) for a in _large_problem(0))
+    out = vs(*args)
+    out[0].block_until_ready()
+    ts, opt = [], 0
+    for r in range(3):
+        a = tuple(jnp.asarray(x, jnp.float64)
+                  for x in _large_problem(r + 1))
+        t0 = time.perf_counter()
+        out = vs(*a)
+        out[0].block_until_ready()
+        ts.append(time.perf_counter() - t0)
+        opt += int(out[5]) == 1
+    return sorted(ts)[1], opt / 3.0
+
+
+def ipm_large_cpu():
+    """The same problem with the all-f64 path on the host CPU backend."""
+    import subprocess
+    import sys
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import json,time\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "jax.config.update('jax_enable_x64',True)\n"
+        "import jax.numpy as jnp\n"
+        "import bench\n"
+        "from kvxopt_tpu.cones import ConeDims\n"
+        "from kvxopt_tpu.parallel.batch import make_qp_solver\n"
+        "from kvxopt_tpu.solvers.coneprog import Options\n"
+        "dims = ConeDims(l=bench.LARGE_M)\n"
+        "o = Options(refinement=1).resolve_refinement(dims)\n"
+        "vs = jax.jit(make_qp_solver(dims, 'chol2', o))\n"
+        "a = tuple(jnp.asarray(x) for x in bench._large_problem(0))\n"
+        "out = vs(*a); out[0].block_until_ready()\n"
+        "ts=[]\n"
+        "for r in range(3):\n"
+        "    a = tuple(jnp.asarray(x) for x in bench._large_problem(r+1))\n"
+        "    t0=time.perf_counter(); out=vs(*a); out[0].block_until_ready()\n"
+        "    ts.append(time.perf_counter()-t0)\n"
+        "print(json.dumps({'t': sorted(ts)[1]}))\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)["t"]
+    except Exception:
+        return None
+
+
 def main():
     tpu_time = tpu_seconds_per_batch()
     cpu_time = cpu_seconds_per_batch()
@@ -203,12 +282,26 @@ def main():
     if cpu_t:
         ipm["cpu_solves_per_s"] = round(IPM_B / cpu_t, 1)
         ipm["vs_cpu"] = round(ipm["solves_per_s"] / (IPM_B / cpu_t), 2)
+        ipm["note"] = ("tiny problems are host-latency-bound; see "
+                       "ipm_large for the compute-bound comparison")
+    tl, opt_frac = ipm_large_tpu()
+    large = {
+        "workload": f"single coneqp n={LARGE_N} m={LARGE_M} f64 state, "
+                    "abstol/feastol 1e-7, kktsolver=chol2_mixed",
+        "tpu_ms_per_solve": round(tl * 1e3, 1),
+        "optimal_fraction": round(opt_frac, 3),
+    }
+    cl = ipm_large_cpu()
+    if cl:
+        large["cpu_f64_ms_per_solve"] = round(cl * 1e3, 1)
+        large["vs_cpu"] = round(cl / tl, 2)
     print(json.dumps({
         "metric": f"batched KKT factorize+solve throughput (n={N}, B={B})",
         "value": round(tpu_thr, 2),
         "unit": "factorizations/s",
         "vs_baseline": round(tpu_thr / cpu_thr, 2),
         "ipm": ipm,
+        "ipm_large": large,
     }))
 
 

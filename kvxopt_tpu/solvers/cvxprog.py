@@ -24,10 +24,12 @@ diag(w) - ww' Hessian) for MXU efficiency.
 
 The outer loop runs eagerly (Python) because each iteration re-linearizes
 the oracle; every inner operation (scaling, KKT factor/solve, cone ops) is
-jitted jax.  Mehrotra predictor-corrector with a domain/safeguard
-backtracking line search replaces the reference's relaxed backtracking
-(cvxprog.py:1126-1200) — same role: keep x in dom f and the merit residual
-decreasing.
+jitted jax.  The step is a Mehrotra predictor-corrector with the
+reference's merit line search: backtracking on
+phi = theta1*gap + theta2*||rx|| + theta3*||rznl|| with sufficient-decrease
+tests and the relaxed-iterations mechanism (up to MAX_RELAXED_ITERS full
+steps, resuming the saved first line search of a series when the merit
+fails to decrease — reference cvxprog.py:1080-1235).
 """
 
 from __future__ import annotations
@@ -44,6 +46,13 @@ from .coneprog import (
     OPTIMAL, UNKNOWN, SINGULAR, _STATUS_STR, STEP, EXPON,
     _resolve_options, _asarray, _relgap, VecOps, DEFAULT_VECOPS,
     _make_vecops)
+
+_DEBUG_LS = __import__('os').environ.get('KVX_DEBUG_LS')
+
+# line-search constants (reference cvxprog.py:385-388)
+BETA = 0.5
+ALPHA = 0.01
+MAX_RELAXED_ITERS = 8
 
 
 def oracle_from_function(f, x0, mnl=None):
@@ -208,6 +217,10 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
     status = UNKNOWN
     metrics = {}
     iters_done = 0
+    # relaxed-line-search state (reference cvxprog.py:385-388,1080-1118)
+    relaxed_iters = 0
+    phi0 = dphi0 = step0 = 0.0
+    saved = None
 
     for it in range(o.maxiters + 1):
         f, Df = feval(x)
@@ -283,61 +296,191 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
                              tmp - cones.scale(edims, W, dz), trans=True)
             return dx, dy, dz, ds
 
-        dxa, dya, dza, dsa = newton(-lmbdasq)
-        dsa_w = cones.scale(edims, W, dsa, trans=True, inverse=True)
-        dza_w = cones.scale(edims, W, dza)
-        ts = cones.max_step(edims, cones.scale2(edims, lmbda, dsa_w))
-        tz = cones.max_step(edims, cones.scale2(edims, lmbda, dza_w))
-        t = float(jnp.maximum(jnp.maximum(ts, tz), 0.0))
-        step_a = 1.0 if t <= 0 else min(1.0, 1.0 / t)
-        mu_aff = float(cones.sdot(edims, s + step_a * dsa,
-                                  z + step_a * dza)) / edeg
-        sigma = min(1.0, max(0.0, mu_aff / float(mu))) ** EXPON
+        # ---- Mehrotra predictor-corrector with the reference's merit
+        # line search: relaxed backtracking on
+        #     phi = theta1*gap + theta2*||rx|| + theta3*||rznl||
+        # (reference cvxprog.py:1010-1235; constants :385-388) ----------
+        resx_v = float(xops.norm(rx))
+        resznl_v = float(jnp.linalg.norm(rznl))
+        if it == 0:
+            theta1 = 1.0 / float(gap)
+            theta2 = 1.0 / max(1.0, resx_v)
+            theta3 = 1.0 / max(1.0, resznl_v)
+        phi = theta1 * float(gap) + theta2 * resx_v + theta3 * resznl_v
 
-        d_c = -lmbdasq - cones.sprod(edims, dsa_w, dza_w) + \
-            sigma * mu * e
-        dx, dy, dz, ds = newton(d_c)
-        ds_w = cones.scale(edims, W, ds, trans=True, inverse=True)
-        dz_w = cones.scale(edims, W, dz)
-        ts = cones.max_step(edims, cones.scale2(edims, lmbda, ds_w))
-        tz = cones.max_step(edims, cones.scale2(edims, lmbda, dz_w))
-        t = float(jnp.maximum(jnp.maximum(ts, tz), 0.0))
-        step = 1.0 if t <= 0 else min(1.0, STEP / t)
-
-        # domain / safeguard backtracking (role of the reference's relaxed
-        # line search, cvxprog.py:1126-1200)
-        res_norm = float(xops.norm(rx)) + float(
-            cones.snrm2(edims, rz)) + (float(yops.norm(ry))
-                                       if p else 0.0)
-        ok = False
-        for _ in range(30):
-            xn = xops.axpy(dx, x, step)
-            outn = feval(xn)
-            if outn is not None and bool(jnp.all(jnp.isfinite(outn[0]))):
+        def make_trial(xc, yc, sc, zc, dxc, dyc, dzc, dsc, sigma_c,
+                       gap_c, dsdz_c):
+            def trial(stp):
+                xn = xops.axpy(dxc, xc, stp)
+                outn = feval(xn)
+                if outn is None or not bool(jnp.all(jnp.isfinite(
+                        jnp.asarray(outn[0])))):
+                    return None
                 fn_, Dfn_ = outn
-                sn = s + step * ds
-                zn = z + step * dz
-                yn = yops.axpy(dy, y, step) if p else y
+                yn = yops.axpy(dyc, yc, stp) if p else yc
+                sn = sc + stp * dsc
+                zn = zc + stp * dzc
                 rxn = xops.axpy(geff_mv(Dfn_, zn, trans=True), c)
                 if p:
                     rxn = xops.axpy(amv(yn, trans=True), rxn)
-                rzn = jnp.concatenate(
-                    [sn[:mnl] + fn_, sn[mnl:] + gmv(xn) - h])
-                newres = float(xops.norm(rxn)) + float(
-                    cones.snrm2(edims, rzn)) + (
-                    float(yops.norm(yops.axpy(b, amv(xn), -1.0)))
-                    if p else 0.0)
-                gapn = float(cones.sdot(edims, sn, zn))
-                if math.isfinite(newres) and gapn > 0 and (
-                        newres <= 2.0 * res_norm + 1e-8 or
-                        gapn <= 0.9 * float(gap)):
-                    ok = True
+                newresx = float(xops.norm(rxn))
+                newresznl = float(jnp.linalg.norm(sn[:mnl] + fn_))
+                # predicted gap along the step (reference :1157-1159)
+                newgap = (1.0 - (1.0 - sigma_c) * stp) * gap_c + \
+                    stp * stp * dsdz_c
+                newphi = theta1 * newgap + theta2 * newresx + \
+                    theta3 * newresznl
+                if not math.isfinite(newphi):
+                    return None
+                return dict(x=xn, y=yn, s=sn, z=zn, gap=newgap,
+                            phi=newphi)
+            return trial
+
+        sigma = 0.0
+        dsa_w = dza_w = None
+        accepted = None
+        failed = False
+        for i in (0, 1):
+            if i == 0:
+                d_t = -lmbdasq
+            else:
+                d_t = -lmbdasq - cones.sprod(edims, dsa_w, dza_w) + \
+                    sigma * mu * e
+            dx, dy, dz, ds = newton(d_t)
+            ds_w = cones.scale(edims, W, ds, trans=True, inverse=True)
+            dz_w = cones.scale(edims, W, dz)
+            if i == 0:
+                dsa_w, dza_w = ds_w, dz_w
+            dsdz = float(cones.sdot(edims, ds_w, dz_w))
+            ts, tz = cones.max_step2(
+                edims, cones.scale2(edims, lmbda, ds_w),
+                cones.scale2(edims, lmbda, dz_w))
+            t = max(0.0, float(ts), float(tz))
+            step = 1.0 if t <= 0.0 else min(1.0, STEP / t)
+
+            if i == 0:
+                dphi = -phi
+            else:
+                dphi = (-theta1 * (1.0 - sigma) * float(gap)
+                        - theta2 * resx_v - theta3 * resznl_v)
+            trial = make_trial(x, y, s, z, dx, dy, dz, ds, sigma,
+                               float(gap), dsdz)
+
+            if i == 0:
+                # predictor: backtrack until the gap decrease test (and,
+                # outside a relaxed series, sufficient phi decrease)
+                # holds (reference :1163-1170); exit sets sigma
+                tr = None
+                for _ in range(60):
+                    tr = trial(step)
+                    if tr is not None and (
+                            tr["gap"] <= (1.0 - ALPHA * step) * float(gap)
+                            and (0 <= relaxed_iters < MAX_RELAXED_ITERS
+                                 or tr["phi"] <= phi + ALPHA * step *
+                                 dphi)):
+                        break
+                    tr = None
+                    step *= BETA
+                if tr is None:
+                    failed = True
                     break
-            step *= 0.5
-        if not ok:
+                ratio = tr["gap"] / float(gap)
+                sigma = min(ratio, ratio ** EXPON)
+                continue
+
+            # corrector: relaxed / standard backtracking with saved-state
+            # resume (reference :1080-1235)
+            if 0 <= relaxed_iters < MAX_RELAXED_ITERS:
+                # relaxed: accept the first in-domain step whose merit
+                # does not grossly explode (bounded-deterioration guard:
+                # the reference's watchdog assumes locally sane Newton
+                # steps; far from the central path a full step can blow
+                # the merit up by orders of magnitude and the
+                # save/resume cycle never recovers)
+                tr = None
+                cap = 10.0 * max(phi, phi0 if relaxed_iters > 0 else phi)
+                for _ in range(60):
+                    tr = trial(step)
+                    if tr is not None and tr["phi"] <= cap:
+                        break
+                    tr = None
+                    step *= BETA
+                if tr is None:
+                    failed = True
+                    break
+                if relaxed_iters == 0:
+                    phi0, dphi0, step0 = phi, dphi, step
+                    saved = dict(x=x, y=y, s=s, z=z, dx=dx, dy=dy,
+                                 dz=dz, ds=ds, sigma=sigma,
+                                 gap=float(gap), dsdz=dsdz)
+                if tr["phi"] <= phi0 + ALPHA * step0 * dphi0:
+                    relaxed_iters = 0
+                else:
+                    relaxed_iters += 1
+                accepted = tr
+            else:
+                # standard backtracking on sufficient phi decrease
+                tr = None
+                stp = step
+                for _ in range(60):
+                    tr = trial(stp)
+                    if tr is not None and tr["phi"] <= phi + ALPHA * \
+                            stp * dphi:
+                        break
+                    tr = None
+                    stp *= BETA
+                if relaxed_iters == MAX_RELAXED_ITERS:
+                    if tr is not None and tr["phi"] <= phi0 + ALPHA * \
+                            step0 * dphi0:
+                        relaxed_iters = 0
+                        accepted = tr
+                    elif tr is not None and tr["phi"] < phi0:
+                        relaxed_iters = -1
+                        accepted = tr
+                    else:
+                        # Resume the saved first line search of the
+                        # series as a standard one (reference
+                        # :1231-1263), unwinding the whole relaxed
+                        # series.  Afterwards stay in standard mode
+                        # (relaxed_iters = -1): this matches the
+                        # reference's as-shipped behavior, where the
+                        # post-resume state is sticky, and prevents
+                        # save/explode/resume cycles on problems whose
+                        # full Newton steps diverge.
+                        rtrial = make_trial(
+                            saved["x"], saved["y"], saved["s"],
+                            saved["z"], saved["dx"], saved["dy"],
+                            saved["dz"], saved["ds"], saved["sigma"],
+                            saved["gap"], saved["dsdz"])
+                        tr = None
+                        stp = step0
+                        for _ in range(60):
+                            tr = rtrial(stp)
+                            if tr is not None and tr["phi"] <= phi0 + \
+                                    ALPHA * stp * dphi0:
+                                break
+                            tr = None
+                            stp *= BETA
+                        relaxed_iters = -1
+                        if tr is None:
+                            failed = True
+                            break
+                        accepted = tr
+                else:  # relaxed_iters == -1: stay in standard mode
+                    if tr is None:
+                        failed = True
+                        break
+                    accepted = tr
+
+        if _DEBUG_LS:
+            print(f"    [ls] it={it} sigma={sigma:.3e} relaxed={relaxed_iters} "
+                  f"phi={phi:.3e} acc_phi={accepted['phi'] if accepted else None} "
+                  f"acc_gap={accepted['gap'] if accepted else None}")
+        if failed or accepted is None:
             status = UNKNOWN
             break
-        x, y, s, z = xn, yn, sn, zn
+        x, y = accepted["x"], accepted["y"]
+        s, z = accepted["s"], accepted["z"]
 
     snl, sl = s[:mnl], s[mnl:]
     znl, zl = z[:mnl], z[mnl:]
