@@ -35,6 +35,11 @@ _var_counter = [0]
 class variable:
     """Optimization variable (reference modeling.py:37)."""
 
+    # keep numpy from broadcasting elementwise over variables: ndarray
+    # binary ops defer to our __rmul__/__radd__ (matrix * variable etc.)
+    __array_priority__ = 20.0
+    __array_ufunc__ = None
+
     def __init__(self, size=1, name=""):
         size = int(size)
         if size < 1:
@@ -120,6 +125,8 @@ class affine:
     def __add__(self, o):
         if isinstance(o, pwl):
             return o + self
+        if isinstance(o, pwl_scalar):
+            return o + self
         o = affine.from_any(o, len(self))
         m = _pymax(len(self), len(o))
         a, b = self._broadcast(m), o._broadcast(m)
@@ -131,8 +138,10 @@ class affine:
     __radd__ = __add__
 
     def __sub__(self, o):
-        return self + (-affine.from_any(o, len(self))
-                       if not isinstance(o, pwl) else -o)
+        if isinstance(o, (pwl, pwl_scalar)):
+            raise TypeError("subtracting a convex PWL function is not "
+                            "convex")
+        return self + (-affine.from_any(o, len(self)))
 
     def __rsub__(self, o):
         return (-self) + o
@@ -171,12 +180,12 @@ class affine:
                    [[self, -self]])
 
     def __le__(self, o):
-        if isinstance(o, pwl):
+        if isinstance(o, (pwl, pwl_scalar)):
             return o.__ge__(self)
         return constraint(self - affine.from_any(o, len(self)), "<")
 
     def __ge__(self, o):
-        if isinstance(o, pwl):
+        if isinstance(o, (pwl, pwl_scalar)):
             return o.__le__(self)
         return constraint(affine.from_any(o, len(self)) - self, "<")
 
@@ -287,11 +296,13 @@ class pwl:
 
 
 class pwl_scalar:
-    """Scalar convex PWL: affine scalar + ('sum'|'max', pieces, m)
-    terms."""
+    """Convex PWL with scalar terms: affine part (any length; scalar
+    terms broadcast across its rows) + ('sum'|'max', pieces, m) terms.
+    The vector-affine case supports forms like A*x + sum(abs(x)) <= b
+    (reference chap10/roblp.py)."""
 
     def __init__(self, aff, terms):
-        self.aff = aff  # affine of length 1
+        self.aff = aff  # affine (scalar terms broadcast to its length)
         self.terms = terms
 
     def __add__(self, o):
@@ -311,15 +322,29 @@ class pwl_scalar:
     __rmul__ = __mul__
 
     def __le__(self, o):
-        # t-lifted at solve time; represent as a constraint on the scalar
-        rhs = affine.from_any(o, 1)
-        return constraint(self + (-1.0 * rhs), "<")
+        # t-lifted at solve time
+        if isinstance(o, (pwl, pwl_scalar)):
+            raise TypeError("PWL <= PWL is not convex")
+        rhs = affine.from_any(o, len(self.aff))
+        return constraint(pwl_scalar(self.aff - rhs, self.terms), "<")
+
+    def __ge__(self, o):
+        raise TypeError("lower bounds on convex PWL functions are not "
+                        "convex")
+
+    def __sub__(self, o):
+        if isinstance(o, (pwl, pwl_scalar)):
+            raise TypeError("difference of PWL convex functions is not "
+                            "convex")
+        return pwl_scalar(self.aff - affine.from_any(o, len(self.aff)),
+                          self.terms)
 
     def value(self):
         base = self.aff.value()
         if base is None:
             return None
-        out = float(np.asarray(base).reshape(-1)[0])
+        vec = np.asarray(base).reshape(-1)
+        out = 0.0
         for kind, pieces, m in self.terms:
             vals = []
             for p in pieces:
@@ -331,7 +356,7 @@ class pwl_scalar:
             mx = np.max(np.stack(vals), axis=0)
             out += float(np.sum(mx)) if kind == "sum" else float(
                 np.max(mx))
-        return matrix(np.asarray([out]).reshape(-1, 1))
+        return matrix((vec + out).reshape(-1, 1))
 
     def __repr__(self):
         return "<scalar pwl function>"
@@ -453,7 +478,7 @@ class constraint:
         self.f = f           # affine, pwl, or pwl_scalar; constraint f<=0
         self.kind = kind     # '<' or '='
         self.multiplier = variable(
-            len(f) if isinstance(f, (affine, pwl)) else 1)
+            len(f) if isinstance(f, (affine, pwl)) else len(f.aff))
         self.name = name     # also names the multiplier (property below)
 
     @property
@@ -473,7 +498,8 @@ class constraint:
         return self.kind
 
     def __len__(self):
-        return len(self.f) if isinstance(self.f, (affine, pwl)) else 1
+        return (len(self.f) if isinstance(self.f, (affine, pwl))
+                else len(self.f.aff))
 
     def value(self):
         if isinstance(self.f, affine):
@@ -508,6 +534,9 @@ class op:
             objective = objective._aff()
         if isinstance(objective, (affine, pwl_scalar)):
             if isinstance(objective, affine) and len(objective) != 1:
+                raise TypeError("objective must be scalar")
+            if isinstance(objective, pwl_scalar) and \
+                    len(objective.aff) != 1:
                 raise TypeError("objective must be scalar")
             return objective
         if isinstance(objective, pwl):
@@ -703,7 +732,7 @@ class op:
                 Grows.append(row)
                 hrows.append(-cst)
                 ineq_rows[c] = (start, len(c.f))
-            else:  # pwl_scalar
+            else:  # pwl_scalar (scalar terms broadcast over aff's rows)
                 for kind, pieces, m, t in aux_info:
                     add_term_rows(kind, pieces, m, t)
                 start = _pysum(r.shape[0] for r in Grows)
@@ -712,7 +741,7 @@ class op:
                     row[:, var_index[t]] += 1.0
                 Grows.append(row)
                 hrows.append(-cst)
-                ineq_rows[c] = (start, 1)
+                ineq_rows[c] = (start, len(c.f.aff))
 
         G = np.vstack(Grows) if Grows else np.zeros((0, nvar))
         h = np.concatenate(hrows) if hrows else np.zeros(0)

@@ -126,3 +126,51 @@ def test_l1regls_example():
     # |gradient| <= 1 everywhere, = -sign(x) on the support
     assert (np.abs(g) <= 1.0 + 1e-5).all()
     np.testing.assert_allclose(g[on], -np.sign(x[on]), atol=1e-4)
+
+
+def test_roblp_example():
+    """chap10/roblp.py: the PWL form A*x + sum(abs(x)) <= b agrees with
+    the explicit-auxiliary form (reference doc section 10.5)."""
+    import roblp as ex
+    x, x2, p1, p2 = ex.main(m=120, n=30)
+    assert p1.status == "optimal" and p2.status == "optimal"
+    np.testing.assert_allclose(np.asarray(x.value), np.asarray(x2.value),
+                               atol=1e-6)
+
+
+def test_l1svc_example():
+    """chap10/l1svc.py: hinge-loss PWL objective agrees with the slack
+    formulation."""
+    import l1svc as ex
+    x, x2, p1, p2 = ex.main(m=120, n=30)
+    assert p1.status == "optimal" and p2.status == "optimal"
+    np.testing.assert_allclose(np.asarray(x.value), np.asarray(x2.value),
+                               atol=1e-6)
+
+
+def test_gp_example():
+    """chap9/gp.py floor-planning GP with the documented optimal box."""
+    import gp as ex
+    sol = ex.main()
+    assert sol["status"] == "optimal"
+    h, w, d = np.exp(np.asarray(sol["x"]).reshape(-1))
+    # documented optimum of the userguide problem
+    np.testing.assert_allclose([h, w, d], [2.8873, 5.7746, 11.5431],
+                               rtol=1e-3)
+
+
+def test_lp_modeling_example():
+    """chap10/lp.py: scalar and matrix DSL forms with multipliers."""
+    import lp_modeling as ex
+    lp1, lp2, (x, y, c1, c2, c3, c4), (x2, ineq) = ex.main()
+    assert lp1.status == "optimal" and lp2.status == "optimal"
+    np.testing.assert_allclose(float(lp1.objective.value()[0]), -9.0,
+                               atol=1e-6)
+    np.testing.assert_allclose([float(x.value[0]), float(y.value[0])],
+                               [1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x2.value).reshape(-1),
+                               [1.0, 1.0], atol=1e-6)
+    # multipliers of the first two constraints are (1, 2)
+    np.testing.assert_allclose(
+        [float(c1.multiplier.value[0]), float(c2.multiplier.value[0])],
+        [1.0, 2.0], atol=1e-5)
