@@ -272,10 +272,20 @@ def sharded_kkt_solver(mesh: Mesh, axis: str, dims, G, A=None, Pmat=None,
     eyen = jnp.eye(n, dtype=dtype)
 
     def factor(W, H=None, Df=None):
-        if Df is not None:
-            raise NotImplementedError(
-                "sharded kktsolver does not support nonlinear Df blocks")
-        d, qparts, sparts = shards.stack_scaling(W)
+        """factor(W[, H, Df]): with a nonlinear block Df (mnl rows, the
+        cpl contract — reference misc.py 'dnl' scaling), the Df rows are
+        treated replicated (they change every iteration and are small),
+        while the static cone rows of G stay sharded."""
+        mnl = Df.shape[0] if Df is not None else 0
+        if mnl:
+            # W is for dims.with_extra_l(mnl): the leading mnl entries of
+            # W.d scale the nonlinear rows
+            Wcone = W._replace(d=W.d[mnl:])
+            dnl = W.d[:mnl]
+            Dfs = Df / dnl[:, None]
+        else:
+            Wcone = W
+        d, qparts, sparts = shards.stack_scaling(Wcone)
         args = [shards.Gl, d]
         for (m, cpad, idxs, Gq), (beta, v) in zip(shards.qgroups, qparts):
             args += [Gq, beta, v]
@@ -289,6 +299,8 @@ def sharded_kkt_solver(mesh: Mesh, axis: str, dims, G, A=None, Pmat=None,
             K = K + Pa
         if H is not None:
             K = K + H
+        if mnl:
+            K = K + Dfs.T @ Dfs
         if reg:
             K = K + reg * eyen
         L = jnp.linalg.cholesky(K)
@@ -309,11 +321,18 @@ def sharded_kkt_solver(mesh: Mesh, axis: str, dims, G, A=None, Pmat=None,
                 return solve_triangular(Ls.T, y, lower=False)
 
         def solve(bx, by, bz):
-            bzs = cones.scale(dims, W, bz, trans=True, inverse=True)
+            # bz covers [nonlinear rows | cone rows]; the cone rows use
+            # the sharded scaled shards, the nl rows stay replicated
+            bznl = bz[:mnl]
+            bzc = bz[mnl:]
+            bzs = cones.scale(dims, Wcone, bzc, trans=True, inverse=True)
             ul, uq, us = shards.stack_vec(bzs)
             f = bx + matT(Gsl, ul, *[x for pair in zip(Sq, uq)
                                      for x in pair],
                           *[x for pair in zip(Ss, us) for x in pair])
+            if mnl:
+                bznl_s = bznl / dnl
+                f = f + Dfs.T @ bznl_s
             if p:
                 Kif = chosolve(f)
                 uy = schursolve(Aa @ Kif - by)
@@ -324,7 +343,10 @@ def sharded_kkt_solver(mesh: Mesh, axis: str, dims, G, A=None, Pmat=None,
             w = mat(Gsl, *Sq, *Ss, ux)
             gx = shards.unstack_vec(w[0], list(w[1:1 + nq]),
                                     list(w[1 + nq:]))
-            uz = cones.scale(dims, W, gx - bzs, inverse=True)
+            uz = cones.scale(dims, Wcone, gx - bzs, inverse=True)
+            if mnl:
+                uznl = (Dfs @ ux - bznl_s) / dnl
+                uz = jnp.concatenate([uznl, uz])
             return ux, uy, uz
 
         return solve

@@ -174,3 +174,41 @@ def test_lp_modeling_example():
     np.testing.assert_allclose(
         [float(c1.multiplier.value[0]), float(c2.multiplier.value[0])],
         [1.0, 2.0], atol=1e-5)
+
+
+def test_normappr_example():
+    """chap10/normappr.py: inf-norm, 1-norm, and dead-zone penalty
+    approximation through the DSL, checked against direct objective
+    minimization oracles (scipy linprog on the epigraph forms)."""
+    import normappr as ex
+    (x1, p1), (x2, p2), (x3, p3), A, b = ex.main(m=80, n=20)
+    assert p1.status == p2.status == p3.status == "optimal"
+    Am = np.asarray(A)
+    bv = np.asarray(b).reshape(-1)
+
+    # optimality via objective comparison against scipy linprog epigraphs
+    from scipy.optimize import linprog
+    m, n = Am.shape
+    # inf-norm: min t s.t. -t <= Ax+b <= t
+    c = np.zeros(n + 1); c[-1] = 1.0
+    G = np.block([[Am, -np.ones((m, 1))], [-Am, -np.ones((m, 1))]])
+    h = np.concatenate([-bv, bv])
+    r = linprog(c, A_ub=G, b_ub=h, bounds=(None, None), method="highs")
+    obj1 = float(np.max(np.abs(Am @ np.asarray(x1.value).reshape(-1)
+                               + bv)))
+    assert abs(obj1 - r.fun) < 1e-6
+    # 1-norm
+    c = np.concatenate([np.zeros(n), np.ones(m)])
+    G = np.block([[Am, -np.eye(m)], [-Am, -np.eye(m)]])
+    h = np.concatenate([-bv, bv])
+    r = linprog(c, A_ub=G, b_ub=h, bounds=(None, None), method="highs")
+    obj2 = float(np.sum(np.abs(Am @ np.asarray(x2.value).reshape(-1)
+                               + bv)))
+    assert abs(obj2 - r.fun) < 1e-5
+    # dead-zone objective value at the DSL solution equals the DSL's
+    # reported objective
+    r3 = Am @ np.asarray(x3.value).reshape(-1) + bv
+    direct = float(np.sum(np.maximum.reduce(
+        [np.zeros_like(r3), np.abs(r3) - 0.75, 2 * np.abs(r3) - 2.25])))
+    dsl = float(np.asarray(p3.objective.value()).reshape(-1)[0])
+    assert abs(direct - dsl) < 1e-6

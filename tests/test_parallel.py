@@ -374,3 +374,31 @@ def test_conelp_through_sharded_kkt():
     assert sol_sh["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(sol_sh["x"]),
                                np.asarray(sol_dn["x"]), atol=1e-6)
+
+
+def test_cpl_through_sharded_kkt():
+    """Nonlinear cone program (cpl) running end-to-end through the
+    tensor-parallel kktsolver: Df rows replicated, cone rows sharded."""
+    from kvxopt_tpu.parallel import sharded_kkt_solver
+    from kvxopt_tpu.solvers import cpl
+    from kvxopt_tpu.solvers.cvxprog import oracle_from_function
+
+    rng = np.random.default_rng(21)
+    n, m = 4, 8
+    G = np.vstack([np.eye(n), -np.eye(n)])
+    h = np.full(m, 2.0)
+    c = rng.standard_normal(n)
+    dims = ConeDims(l=m)
+    # one smooth constraint: ||x||^2 <= 1
+    F = oracle_from_function(
+        lambda x: jnp.atleast_1d(jnp.sum(x ** 2) - 1.0), np.zeros(n))
+
+    sol_ref = cpl(c, F, G, h, dims)
+    assert sol_ref["status"] == "optimal"
+
+    mesh = make_mesh(8, ("kkt",))
+    factor = sharded_kkt_solver(mesh, "kkt", dims, jnp.asarray(G))
+    sol_sh = cpl(c, F, G, h, dims, kktsolver=factor)
+    assert sol_sh["status"] == "optimal"
+    np.testing.assert_allclose(np.asarray(sol_sh["x"]),
+                               np.asarray(sol_ref["x"]), atol=1e-6)
