@@ -341,22 +341,20 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
                 (dxp, dyp, dzp, dtp, dsp, dkp,
                  dsw_p, dzw_p, tlim_p) = carry
 
-                def affine_rhs(_):
-                    return (jnp.asarray(1.0, rz.dtype), -lmbdasq,
-                            -tau * kappa)
-
-                def combined_rhs(cargs):
-                    dsw, dzw, dtp_, dkp_, tlim = cargs
-                    step_a = jnp.minimum(1.0, tlim)
-                    sigma = jnp.clip(1.0 - step_a, 0.0, 1.0) ** EXPON
-                    d_s = -lmbdasq - cones.sprod(dims, dsw, dzw) + \
-                        sigma * mu * e
-                    d_k = -tau * kappa - dtp_ * dkp_ + sigma * mu
-                    return 1.0 - sigma, d_s, d_k
-
-                r, d_s, d_k = jax.lax.cond(
-                    i == 0, affine_rhs, combined_rhs,
-                    (dsw_p, dzw_p, dtp, dkp, tlim_p))
+                # arithmetic select instead of lax.cond: both phase rhs
+                # are cheap, and cond nested in scan nested in while_loop
+                # compiles very slowly on the TPU toolchain.  At i=0 the
+                # carry is all-zero, so the combined expression is finite
+                # and simply discarded by the select.
+                step_a = jnp.minimum(1.0, tlim_p)
+                sigma = jnp.clip(1.0 - step_a, 0.0, 1.0) ** EXPON
+                d_s_c = -lmbdasq - cones.sprod(dims, dsw_p, dzw_p) + \
+                    sigma * mu * e
+                d_k_c = -tau * kappa - dtp * dkp + sigma * mu
+                is_aff = i == 0
+                r = jnp.where(is_aff, 1.0, 1.0 - sigma)
+                d_s = jnp.where(is_aff, -lmbdasq, d_s_c)
+                d_k = jnp.where(is_aff, -tau * kappa, d_k_c)
                 dx, dy, dz, dt, ds, dk = f6(
                     xops.scal(-r, rx), yops.scal(-r, ry), -r * rz,
                     -r * rt, d_s, d_k)

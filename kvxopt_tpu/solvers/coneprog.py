@@ -499,21 +499,19 @@ def _coneqp_core(Pa, q, Ga, h, Aa, b, init, dims, o: Options, factor,
             def phase(carry, i):
                 dxp, dyp, dzp, dsp, dsw_p, dzw_p, tinv_p = carry
 
-                def affine_target(_):
-                    return -lmbdasq
-
-                def combined_target(c):
-                    dsp_, dzp_, dsw, dzw, tinv = c
-                    stp = jnp.where(tinv <= 0.0, 1.0,
-                                    jnp.minimum(1.0, 1.0 / tinv))
-                    mu_aff = cones.sdot(dims, s + stp * dsp_,
-                                        z + stp * dzp_) / deg
-                    sigma = jnp.clip(mu_aff / mu, 0.0, 1.0) ** EXPON
-                    return (-lmbdasq - cones.sprod(dims, dsw, dzw) +
+                # Both phase targets are cheap elementwise work, so an
+                # arithmetic select beats lax.cond here: cond nested in
+                # scan nested in while_loop compiles very slowly on the
+                # TPU toolchain.  At i=0 the carry is all-zero, making
+                # the combined-target expression finite and discarded.
+                stp = jnp.where(tinv_p <= 0.0, 1.0,
+                                jnp.minimum(1.0, 1.0 / tinv_p))
+                mu_aff = cones.sdot(dims, s + stp * dsp,
+                                    z + stp * dzp) / deg
+                sigma = jnp.clip(mu_aff / mu, 0.0, 1.0) ** EXPON
+                combined = (-lmbdasq - cones.sprod(dims, dsw_p, dzw_p) +
                             sigma * mu * e)
-
-                d_t = jax.lax.cond(i == 0, affine_target, combined_target,
-                                   (dsp, dzp, dsw_p, dzw_p, tinv_p))
+                d_t = jnp.where(i == 0, -lmbdasq, combined)
                 dx, dy, dz, ds = newton(solve, lmbda, W, rx, ry, rz, d_t)
                 ds_w = cones.scale(dims, W, ds, trans=True, inverse=True)
                 dz_w = cones.scale(dims, W, dz)

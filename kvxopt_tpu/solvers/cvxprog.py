@@ -385,7 +385,10 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
                     failed = True
                     break
                 ratio = tr["gap"] / float(gap)
-                sigma = min(ratio, ratio ** EXPON)
+                # clamp to [0, 1]: the predicted gap can go negative on
+                # aggressive affine steps, and a negative sigma would
+                # make the corrector an anti-centering step
+                sigma = min(1.0, max(0.0, min(ratio, ratio ** EXPON)))
                 continue
 
             # corrector: relaxed / standard backtracking with saved-state

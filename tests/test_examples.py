@@ -212,3 +212,30 @@ def test_normappr_example():
         [np.zeros_like(r3), np.abs(r3) - 0.75, 2 * np.abs(r3) - 2.25])))
     dsl = float(np.asarray(p3.objective.value()).reshape(-1)[0])
     assert abs(direct - dsl) < 1e-6
+
+
+def test_floorplan_example():
+    """chap9/floorplan.py: 5-block floor planning (cpl with hyperbolic
+    area constraints).  All minimum areas are active at the optimum."""
+    import floorplan as ex
+    sol, W, H, x, y, w, hh = ex.main()
+    assert sol["status"] == "optimal"
+    np.testing.assert_allclose(w * hh, np.full(5, 100.0), rtol=1e-5)
+    # documented objective for Amin = 100*ones: W + H ~ 47.94
+    assert abs((W + H) - 47.94) < 0.2
+
+
+def test_acent2_example():
+    """chap9/acent2.py: analytic centering with q- and s-cone
+    constraints.  KNOWN ISSUE (ROADMAP): cpl with SDP cone constraints
+    can stall short of the 1e-7 stopping test; the returned point is the
+    correct analytic center but the status stays 'unknown'."""
+    import pytest
+    import acent2 as ex
+    sol = ex.main()
+    # the iterate does reach the optimizer
+    np.testing.assert_allclose(np.asarray(sol["x"]), np.zeros(3),
+                               atol=1e-3)
+    if sol["status"] != "optimal":
+        pytest.xfail("cpl + SDP cones stalls before the stopping test "
+                     "(tracked in ROADMAP)")
