@@ -23,7 +23,10 @@ def F(x=None, z=None):
     Df = (2.0 * x / u).reshape(1, -1)
     if z is None:
         return jnp.atleast_1d(val), Df
-    H = jnp.diag(2.0 * z[0] * (1.0 + u ** 2) / u ** 2)
+    # d2/dx2 -log(1-x^2) = 2 (1+x^2) / (1-x^2)^2  (note: the reference's
+    # chap9/acent2.py example file writes 1+u^2 here — a typo; the
+    # userguide doc/source/solvers.rst has the correct 1+x^2)
+    H = jnp.diag(2.0 * z[0] * (1.0 + x ** 2) / u ** 2)
     return jnp.atleast_1d(val), Df, H
 
 

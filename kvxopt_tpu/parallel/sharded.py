@@ -28,10 +28,8 @@ Two entry points:
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular

@@ -333,7 +333,7 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
                 if not math.isfinite(newphi):
                     return None
                 return dict(x=xn, y=yn, s=sn, z=zn, gap=newgap,
-                            phi=newphi)
+                            phi=newphi, stp=stp)
             return trial
 
         sigma = 0.0
@@ -395,19 +395,45 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
             # resume (reference :1080-1235)
             if 0 <= relaxed_iters < MAX_RELAXED_ITERS:
                 # relaxed: accept the first in-domain step whose merit
-                # does not grossly explode (bounded-deterioration guard:
-                # the reference's watchdog assumes locally sane Newton
-                # steps; far from the central path a full step can blow
-                # the merit up by orders of magnitude and the
-                # save/resume cycle never recovers)
+                # does not grossly explode RELATIVE TO THE SERIES START
+                # (bounded-deterioration guard: the reference's watchdog
+                # assumes locally sane Newton steps; far from the central
+                # path a full step can blow the merit up by orders of
+                # magnitude per step, and with a drifting baseline the
+                # series diverges geometrically and the save/resume cycle
+                # never recovers)
                 tr = None
-                cap = 10.0 * max(phi, phi0 if relaxed_iters > 0 else phi)
+                cap = 10.0 * (phi0 if relaxed_iters > 0 else phi)
                 for _ in range(60):
                     tr = trial(step)
                     if tr is not None and tr["phi"] <= cap:
                         break
                     tr = None
                     step *= BETA
+                if tr is None and relaxed_iters > 0:
+                    # mid-series and even a zero step exceeds the cap
+                    # (current phi already above it): abandon the series
+                    # and resume the saved first line search, standard
+                    # mode from here on
+                    rtrial = make_trial(
+                        saved["x"], saved["y"], saved["s"], saved["z"],
+                        saved["dx"], saved["dy"], saved["dz"],
+                        saved["ds"], saved["sigma"], saved["gap"],
+                        saved["dsdz"])
+                    stp = step0
+                    for _ in range(60):
+                        tr = rtrial(stp)
+                        if tr is not None and tr["phi"] <= phi0 + \
+                                ALPHA * stp * dphi0:
+                            break
+                        tr = None
+                        stp *= BETA
+                    relaxed_iters = -1
+                    if tr is None:
+                        failed = True
+                        break
+                    accepted = tr
+                    continue
                 if tr is None:
                     failed = True
                     break
@@ -432,6 +458,28 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
                         break
                     tr = None
                     stp *= BETA
+                    if stp < 1e-10:
+                        break
+                if tr is not None and stp <= step * BETA ** 25:
+                    # a micro-step acceptance is numerical noise in the
+                    # predicted-gap model, not progress
+                    tr = None
+                if tr is None:
+                    # escape hatch: the merit model predicts descent but
+                    # no practical step decreases phi (seen when the
+                    # merit — which excludes the linear-cone residual,
+                    # like the reference's — is locally flat at an
+                    # infeasible point).  Fall back to the round-1
+                    # bounded-deterioration acceptance so the iteration
+                    # keeps moving.
+                    stp = step
+                    for _ in range(60):
+                        t2 = trial(stp)
+                        if t2 is not None and t2["phi"] <= 2.0 * phi + \
+                                1e-8:
+                            tr = t2
+                            break
+                        stp *= BETA
                 if relaxed_iters == MAX_RELAXED_ITERS:
                     if tr is not None and tr["phi"] <= phi0 + ALPHA * \
                             step0 * dphi0:
@@ -478,7 +526,8 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         if _DEBUG_LS:
             print(f"    [ls] it={it} sigma={sigma:.3e} relaxed={relaxed_iters} "
                   f"phi={phi:.3e} acc_phi={accepted['phi'] if accepted else None} "
-                  f"acc_gap={accepted['gap'] if accepted else None}")
+                  f"acc_gap={accepted['gap'] if accepted else None} "
+                  f"acc_stp={accepted.get('stp') if accepted else None}")
         if failed or accepted is None:
             status = UNKNOWN
             break

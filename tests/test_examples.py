@@ -227,15 +227,15 @@ def test_floorplan_example():
 
 def test_acent2_example():
     """chap9/acent2.py: analytic centering with q- and s-cone
-    constraints.  KNOWN ISSUE (ROADMAP): cpl with SDP cone constraints
-    can stall short of the 1e-7 stopping test; the returned point is the
-    correct analytic center but the status stays 'unknown'."""
+    constraints; the userguide documents the optimum
+    x* = (0.411, 0.559, -0.720) (doc/source/solvers.rst).  KNOWN ISSUE
+    (ROADMAP): cpl with SDP cone constraints can stall near the
+    (s-infeasible) starting region on this problem."""
     import pytest
     import acent2 as ex
     sol = ex.main()
-    # the iterate does reach the optimizer
-    np.testing.assert_allclose(np.asarray(sol["x"]), np.zeros(3),
-                               atol=1e-3)
     if sol["status"] != "optimal":
-        pytest.xfail("cpl + SDP cones stalls before the stopping test "
+        pytest.xfail("cpl + SDP cones stalls on acent2 "
                      "(tracked in ROADMAP)")
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               [0.4110, 0.5588, -0.7201], atol=1e-3)
