@@ -34,7 +34,7 @@ def main():
     G = np.array([
         [0., -1., 0., 0., -21., -11., 0., -11., 10., 8., 0., 8., 5.],
         [0., 0., -1., 0., 0., 10., 16., 10., -10., -10., 16., -10., 3.],
-        [0., 0., 0., -1., -5., 2., -17., 2., -6., 8., -17., 8., 6.],
+        [0., 0., 0., -1., -5., 2., -17., 2., -6., 8., -17., -7., 6.],
     ]).T
     h = np.array([1.0, 0.0, 0.0, 0.0, 20., 10., 40., 10., 80., 10.,
                   40., 10., 15.])

@@ -327,6 +327,33 @@ def max_step2(dims: ConeDims, u, v):
     return both[0], both[1]
 
 
+def max_step_eig(dims: ConeDims, u):
+    """max_step that also returns the s-block eigendecompositions.
+
+    Returns (t, eig) where eig is a list aligned with the s groups of
+    `block_groups(dims)`: one (sig, Q) pair per group with sig of shape
+    (count, m) and Q of shape (count, m, m), Q diag(sig) Q' = u_block.
+    The reference's max_step stores these in-place (misc_solvers.c:1042,
+    sigs/Q outputs) for the scaled line-search state update in cpl."""
+    vals = []
+    if dims.l:
+        vals.append(-jnp.min(u[: dims.l]))
+    qgroups, sgroups = block_groups(dims)
+    for m, idxs, flat in qgroups:
+        xb = u[flat]
+        vals.append(jnp.max(jnp.linalg.norm(xb[:, 1:], axis=1) -
+                            xb[:, 0]))
+    eig = []
+    for m, idxs, flat in sgroups:
+        X = u[flat].reshape(-1, m, m)
+        sig, Q = jnp.linalg.eigh(0.5 * (X + jnp.swapaxes(X, 1, 2)))
+        eig.append((sig, Q))
+        vals.append(-jnp.min(sig))
+    if not vals:
+        return jnp.asarray(0.0, dtype=u.dtype), eig
+    return jnp.max(jnp.stack(vals)), eig
+
+
 # ---------------------------------------------------------------------------
 # Nesterov-Todd scaling
 # ---------------------------------------------------------------------------
@@ -349,7 +376,27 @@ class NTScaling(NamedTuple):
     rti: Tuple[jnp.ndarray, ...]
 
 
-def compute_scaling(dims: ConeDims, s, z):
+def _svd_batched(B, method: str = "eigh"):
+    """Batched SVD B = U diag(sig) V' of square (c, m, m) blocks.
+
+    method='eigh' (default) computes it via the eigendecomposition of the
+    Gram matrix B'B — XLA's TPU svd expands to a far larger subprogram
+    than eigh (~16 s vs ~2 s compile per instance), and the IPM's
+    iterative refinement absorbs the normal-equations accuracy loss
+    (~eps * cond) in the final iterations.  method='svd' uses
+    jnp.linalg.svd for full accuracy (options['sscaling'] = 'svd')."""
+    if method == "svd":
+        U, sig, Vt = jnp.linalg.svd(B)
+        return U, sig, jnp.swapaxes(Vt, 1, 2)
+    sig2, Q = jnp.linalg.eigh(jnp.swapaxes(B, 1, 2) @ B)
+    sig2 = jnp.maximum(sig2[:, ::-1], 1e-300)   # descending, like svd
+    V = Q[:, :, ::-1]
+    sig = jnp.sqrt(sig2)
+    U = B @ (V / sig[:, None, :])
+    return U, sig, V
+
+
+def compute_scaling(dims: ConeDims, s, z, method: str = "eigh"):
     """Nesterov-Todd scaling W and scaled point lambda from a strictly
     feasible pair (s, z).  Functional equivalent of the reference's
     compute_scaling (misc.py:250); unlike the reference we recompute W from
@@ -403,19 +450,11 @@ def compute_scaling(dims: ConeDims, s, z):
         LL = jnp.linalg.cholesky(0.5 * jnp.concatenate(
             [S + jnp.swapaxes(S, 1, 2), Z + jnp.swapaxes(Z, 1, 2)]))
         L1, L2 = LL[: S.shape[0]], LL[S.shape[0]:]
-        # SVD of B = L2'L1 = U diag(lam) V', computed via the
-        # eigendecomposition of the Gram matrix B'B = Q diag(lam^2) Q'
-        # (V = Q, U = B Q diag(1/lam)).  XLA's TPU svd expands to a far
-        # larger subprogram than eigh (16s vs 2s compile per instance),
-        # and the IPM's iterative refinement absorbs the normal-equations
-        # accuracy loss (~eps * cond) in the final iterations.
+        # SVD of B = L2'L1 = U diag(lam) V' (see _svd_batched for the
+        # eigh-vs-svd tradeoff; `method` is options['sscaling']).
         B = jnp.swapaxes(L2, 1, 2) @ L1
-        sig, Q = jnp.linalg.eigh(jnp.swapaxes(B, 1, 2) @ B)
-        sig = jnp.maximum(sig[:, ::-1], 1e-300)   # descending, like svd
-        Q = Q[:, :, ::-1]
-        lam = jnp.sqrt(sig)
+        U, lam, Q = _svd_batched(B, method)
         isqrt = 1.0 / jnp.sqrt(lam)
-        U = B @ (Q / lam[:, None, :])
         r = L1 @ (Q * isqrt[:, None, :])
         rti = L2 @ (U * isqrt[:, None, :])
         Lam = jnp.zeros_like(S).at[
@@ -443,9 +482,132 @@ def identity_scaling(dims: ConeDims, dtype=None) -> NTScaling:
 
 
 def update_scaling(dims: ConeDims, W: NTScaling, s, z):
-    """API-parity shim for the reference's incremental update_scaling
-    (misc.py:422): recomputes the NT scaling from the current (s, z)."""
+    """API-parity shim: recomputes the NT scaling from an unscaled
+    strictly feasible pair (s, z).  For the reference's incremental
+    update (misc.py:422) from *scaled* new iterates, use
+    `update_scaling_inc`."""
     return compute_scaling(dims, s, z)
+
+
+def update_scaling_inc(dims: ConeDims, W: NTScaling, lmbda, s, z,
+                       method: str = "eigh"):
+    """Incremental Nesterov-Todd scaling update (reference misc.py:422).
+
+    On entry the l and q blocks of `s` and `z` contain the new iterates in
+    the *current* scaling (W^{-T} s_new and W z_new); the s blocks contain
+    factors Ls, Lz (full m x m storage) with Ls Ls' = W^{-T} s_new and
+    Lz Lz' = W z_new.  Returns (W_new, lmbda_new) such that
+    W_new z_new = W_new^{-T} s_new = lmbda_new, with lmbda_new's s blocks
+    embedded as diagonal matrices (this package's lambda convention).
+
+    Near the cone boundary this form is much better conditioned than
+    recomputing W from the unscaled pair: the inputs stay O(lambda) while
+    s_new, z_new individually degenerate — the reason the reference's cpl
+    converges on SDP problems (e.g. examples/doc/chap9/acent2.py) where a
+    recompute-from-(s,z) loop stalls.
+    """
+    lm_new = jnp.zeros((dims.size,), dtype=lmbda.dtype)
+
+    # l blocks: d := d .* sqrt(s ./ z), lambda := sqrt(s .* z)
+    if dims.l:
+        sl, zl = s[: dims.l], z[: dims.l]
+        d = W.d * jnp.sqrt(sl / zl)
+        lm_new = lm_new.at[: dims.l].set(jnp.sqrt(sl * zl))
+    else:
+        d = W.d
+
+    qgroups, sgroups = block_groups(dims)
+    betas = list(W.beta)
+    vs = list(W.v)
+    for m, idxs, flat in qgroups:
+        sb, zb = s[flat], z[flat]                        # (c, m)
+        v = jnp.stack([W.v[k] for k in idxs])
+        beta = jnp.stack([W.beta[k] for k in idxs])
+        aa, bb = _jnrm2_b(sb), _jnrm2_b(zb)
+        s_ = sb / aa[:, None]
+        z_ = zb / bb[:, None]
+        cc = jnp.sqrt((1.0 + jnp.sum(s_ * z_, axis=1)) / 2.0)
+        vs_ = jnp.sum(v * s_, axis=1)
+        # vz = v' J z_
+        vz = v[:, 0] * z_[:, 0] - jnp.sum(v[:, 1:] * z_[:, 1:], axis=1)
+        vq = (vs_ + vz) / (2.0 * cc)
+        vu = vs_ - vz
+        # scaled variable: lambda_k0 = c, lambda_k1 from the Householder
+        # geometry (reference misc.py:422 'q' block comments)
+        wk0 = 2.0 * v[:, 0] * vq - (s_[:, 0] + z_[:, 0]) / (2.0 * cc)
+        dd = (v[:, 0] * vu - s_[:, 0] / 2.0 + z_[:, 0] / 2.0) / \
+            (wk0 + 1.0)
+        lam1 = (2.0 * (-dd * vq + 0.5 * vu))[:, None] * v[:, 1:] + \
+            (0.5 * (1.0 - dd / cc))[:, None] * s_[:, 1:] + \
+            (0.5 * (1.0 + dd / cc))[:, None] * z_[:, 1:]
+        scal = jnp.sqrt(aa * bb)
+        lam_b = scal[:, None] * jnp.concatenate(
+            [cc[:, None], lam1], axis=1)
+        lm_new = lm_new.at[flat].set(lam_b)
+        # v := ((2 v v' - J) q)^{1/2} with q = (s_ + J z_) / (2c), so
+        # (2 v v' - J) q = 2 vq v - (J s_ + z_) / (2c)   (J J = I)
+        Js = jnp.concatenate([s_[:, :1], -s_[:, 1:]], axis=1)
+        w = 2.0 * vq[:, None] * v - (Js + z_) / (2.0 * cc[:, None])
+        w = w.at[:, 0].add(1.0)
+        vb = w / jnp.sqrt(2.0 * w[:, 0])[:, None]
+        beta_b = beta * jnp.sqrt(aa / bb)
+        for j, k in enumerate(idxs):
+            betas[k] = beta_b[j]
+            vs[k] = vb[j]
+
+    rs = list(W.r)
+    rtis = list(W.rti)
+    for m, idxs, flat in sgroups:
+        Ls = s[flat].reshape(-1, m, m)
+        Lz = z[flat].reshape(-1, m, m)
+        R = jnp.stack([W.r[k] for k in idxs])
+        Rti = jnp.stack([W.rti[k] for k in idxs])
+        # SVD Lz' Ls = U diag(lam) V'; r := r Ls V lam^{-1/2},
+        # rti := rti Lz U lam^{-1/2}
+        U, lam, V = _svd_batched(jnp.swapaxes(Lz, 1, 2) @ Ls, method)
+        isqrt = 1.0 / jnp.sqrt(lam)
+        Rn = (R @ Ls) @ (V * isqrt[:, None, :])
+        Rtin = (Rti @ Lz) @ (U * isqrt[:, None, :])
+        Lam = jnp.zeros_like(Ls).at[
+            :, jnp.arange(m), jnp.arange(m)].set(lam)
+        lm_new = lm_new.at[flat].set(Lam.reshape(-1, m * m))
+        for j, k in enumerate(idxs):
+            rs[k] = Rn[j]
+            rtis[k] = Rtin[j]
+
+    return NTScaling(d=d, beta=tuple(betas), v=tuple(vs),
+                     r=tuple(rs), rti=tuple(rtis)), lm_new
+
+
+def step_scaled_iterates(dims: ConeDims, lmbda, d_w, eig, step):
+    """Input vector for `update_scaling_inc` after a line-search step.
+
+    l/q blocks: the new scaled iterate lmbda + step * d_w (d_w is the
+    scaled direction W^{-T} ds or W dz).  s blocks: the factor
+    L = Lam^{1/2} Q diag(sqrt(1 + step*sig)) where (sig, Q) = eig is the
+    eigendecomposition of scale2(lmbda, d_w) from `max_step_eig`, so that
+    L L' = H(lmbda^{1/2})(I + step * scale2(lmbda, d_w)) = the new scaled
+    iterate (reference cvxprog.py:1280-1330 / coneprog.py equivalent)."""
+    out = lmbda + step * d_w
+    _, sgroups = block_groups(dims)
+    for gi, (m, idxs, flat) in enumerate(sgroups):
+        sig, Q = eig[gi]
+        Lam = lmbda[flat].reshape(-1, m, m)
+        lam_d = jnp.diagonal(Lam, axis1=1, axis2=2)
+        L = (jnp.sqrt(lam_d)[:, :, None] * Q) * jnp.sqrt(
+            jnp.maximum(1.0 + step * sig, 0.0))[:, None, :]
+        out = out.at[flat].set(L.reshape(-1, m * m))
+    return out
+
+
+def lmbda_to_cone(dims: ConeDims, W: NTScaling, lmbda):
+    """Reconstruct the unscaled iterates (s, z) from the scaled state
+    (W, lambda): s = W' Lam, z = W^{-1} Lam (the reference's end-of-
+    iteration unscale, cvxprog.py:1310-1335 — unscaled variables are only
+    needed for feasibility residuals)."""
+    s = scale(dims, W, lmbda, trans=True)
+    z = scale(dims, W, lmbda, inverse=True)
+    return s, z
 
 
 def _soc_apply(beta, v, u):
@@ -601,6 +763,32 @@ def unpack(dims: ConeDims, p):
 # ---------------------------------------------------------------------------
 # Misc helpers used by the solvers
 # ---------------------------------------------------------------------------
+
+
+def sym_from_lower(dims: ConeDims, u):
+    """Make the s blocks symmetric using only their authoritative
+    triangle.  The cone-program API convention (reference
+    doc/source/coneprog.rst, misc.py:862 symm) is that only the *lower
+    triangle in column-major storage* of s-block data is referenced; our
+    row-major reshape transposes the block, so the authoritative entries
+    are the row-major *upper* triangle.  Idempotent on symmetric data."""
+    out = u
+    _, sgroups = block_groups(dims)
+    for m, idxs, flat in sgroups:
+        X = u[flat].reshape(-1, m, m)
+        Up = jnp.triu(X)
+        S = Up + jnp.swapaxes(jnp.triu(X, 1), 1, 2)
+        out = out.at[flat].set(S.reshape(-1, m * m))
+    return out
+
+
+def sym_from_lower_cols(dims: ConeDims, G):
+    """Apply sym_from_lower to every column of a dense (dims.size, n)
+    coefficient matrix (the G of a cone program)."""
+    if not dims.s:
+        return G
+    return jax.vmap(lambda col: sym_from_lower(dims, col),
+                    in_axes=1, out_axes=1)(G)
 
 
 def symm(dims: ConeDims, u):

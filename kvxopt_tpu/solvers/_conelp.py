@@ -83,7 +83,8 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     dims = ConeDims.from_dict(dims)
     if dims.degree == 0:
         raise ValueError("the cone must be nonempty")
-    h = _asarray(h, dtype, shape=(dims.size,), name="h")
+    h = cones.sym_from_lower(
+        dims, _asarray(h, dtype, shape=(dims.size,), name="h"))
     has_y = 1
     if not custom_y:
         b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
@@ -92,8 +93,8 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
 
     G_is_op = callable(G)
     A_is_op = A is not None and callable(A)
-    Ga = None if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
-                                       name="G")
+    Ga = None if G_is_op else cones.sym_from_lower_cols(
+        dims, _asarray(G, dtype, shape=(dims.size, n), name="G"))
     Aa = None
     if not A_is_op:
         Aa = (jnp.zeros((0, n), dtype) if A is None and n is not None

@@ -59,6 +59,8 @@ class Options(NamedTuple):
                            # (the reference's default, coneprog.py:436)
     show_progress: bool = False
     kktreg: float = 0.0
+    sscaling: str = "eigh"  # s-block NT construction: 'eigh' (fast TPU
+                            # compile) or 'svd' (full accuracy; ROADMAP 11)
 
     def resolve_refinement(self, dims):
         if self.refinement >= 0:
@@ -80,6 +82,7 @@ def _resolve_options(options):
         refinement=int(merged.get("refinement", -1)),
         show_progress=bool(merged.get("show_progress", False)),
         kktreg=float(merged.get("kktreg", 0.0) or 0.0),
+        sscaling=str(merged.get("sscaling", "eigh")),
     )
     dtype = merged.get("dtype", None) or config.default_dtype
     return o, jnp.dtype(dtype), merged
@@ -268,7 +271,8 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     dims = ConeDims.from_dict(dims)
     if dims.degree == 0:
         raise ValueError("the cone must be nonempty")
-    h = _asarray(h, dtype, shape=(dims.size,), name="h")
+    h = cones.sym_from_lower(
+        dims, _asarray(h, dtype, shape=(dims.size,), name="h"))
     if not custom_y:
         b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
             (0,), dtype)
@@ -279,8 +283,8 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     G_is_op = callable(G)
     A_is_op = A is not None and callable(A)
     P_is_op = callable(P)
-    Ga = None if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
-                                       name="G")
+    Ga = None if G_is_op else cones.sym_from_lower_cols(
+        dims, _asarray(G, dtype, shape=(dims.size, n), name="G"))
     Aa = None
     if not A_is_op:
         Aa = (jnp.zeros((0, n), dtype) if A is None and n is not None

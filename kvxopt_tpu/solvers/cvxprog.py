@@ -29,7 +29,24 @@ reference's merit line search: backtracking on
 phi = theta1*gap + theta2*||rx|| + theta3*||rznl|| with sufficient-decrease
 tests and the relaxed-iterations mechanism (up to MAX_RELAXED_ITERS full
 steps, resuming the saved first line search of a series when the merit
-fails to decrease — reference cvxprog.py:1080-1235).
+fails to decrease — reference cvxprog.py:1080-1263).
+
+Two design points follow the reference exactly because they are what make
+hard SDP-cone problems (acent2) converge:
+
+- The iterate state is the *scaled* pair (W, lambda), updated incrementally
+  each step (cones.update_scaling_inc == reference misc.py:422); the
+  unscaled (s, z) are reconstructed only for feasibility residuals.  Near
+  the cone boundary this is far better conditioned than recomputing W from
+  (s, z).
+- s-block data (G columns, h) is read in the cone-program API's
+  lower-triangle storage convention (cones.sym_from_lower; reference
+  trisc/sgemv semantics, misc.py:766-831).
+
+One robustness addition beyond the reference: if the condensed Cholesky
+KKT path returns non-finite directions (jnp.linalg.cholesky NaNs silently
+where LAPACK potrf raises), the iteration retries with the regularized
+full 3x3 LDL factorization before giving up.
 """
 
 from __future__ import annotations
@@ -125,11 +142,12 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         raise ValueError("custom x vector space requires operator-form G")
     if G_is_op and not callable(kktsolver):
         raise ValueError("operator-form G requires a custom kktsolver")
-    Ga = G if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
-                                    name="G")
+    Ga = G if G_is_op else cones.sym_from_lower_cols(
+        dims, _asarray(G, dtype, shape=(dims.size, n), name="G"))
     gmv = G if G_is_op else (lambda v, trans=False:
                              (Ga.T @ v if trans else Ga @ v))
-    h = (_asarray(h, dtype, shape=(dims.size,), name="h")
+    h = (cones.sym_from_lower(dims, _asarray(h, dtype, shape=(dims.size,),
+                                             name="h"))
          if h is not None else jnp.zeros((dims.size,), dtype))
     if custom_y:
         if A is None or not callable(A) or b is None:
@@ -164,11 +182,29 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
 
     if kktsolver is None:
         kktsolver = "chol" if (dims.q or dims.s) else "chol2"
+    fallback_factor = None
     if isinstance(kktsolver, str):
         factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, None,
                                      mnl=mnl, reg=o.kktreg)
+        if kktsolver != "ldl":
+            # Robustness fallback: when the IPM drives gap far below the
+            # feasibility residuals (possible under the reference's
+            # relaxed line-search dynamics), the condensed Cholesky
+            # systems reach condition ~1/eps and jnp's cholesky returns
+            # NaN silently (LAPACK potrf would raise — reference
+            # misc.py:1352 has no guard either and terminates 'unknown').
+            # The regularized full 3x3 LDL solve survives this regime.
+            fallback_factor = kkt.make_kkt_solver(
+                "ldl", dims, Ga, Aa, None, mnl=mnl, reg=o.kktreg)
     else:
         factor = kktsolver
+
+    def _allfinite(*trees):
+        for t in trees:
+            for leaf in jax.tree_util.tree_leaves(t):
+                if not bool(jnp.all(jnp.isfinite(leaf))):
+                    return False
+        return True
 
     def feval(x, z=None):
         out = F(x) if z is None else F(x, z)
@@ -203,16 +239,12 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
     y = yops.zero(b)
     s = e.copy()
     z = e.copy()
+    W = lmbda = None   # scaled state, computed at it == 0, then updated
+                       # incrementally (reference cvxprog.py:760-1335)
 
     out0 = feval(x)
     if out0 is None:
         raise ValueError("x0 must be in the domain of f")
-
-    resx0 = jnp.maximum(1.0, xops.norm(c))
-    resy0 = jnp.maximum(1.0, yops.norm(b))
-    f0, Df0 = out0
-    resz0 = jnp.maximum(1.0, cones.snrm2(
-        edims, jnp.concatenate([f0 * 0 + 1.0, h])))
 
     status = UNKNOWN
     metrics = {}
@@ -221,6 +253,8 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
     relaxed_iters = 0
     phi0 = dphi0 = step0 = 0.0
     saved = None
+    theta1 = theta2 = theta3 = 0.0
+    pres0 = dres0 = 1.0
 
     for it in range(o.maxiters + 1):
         f, Df = feval(x)
@@ -237,9 +271,21 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         dcost = pcost + (yops.dot(y, ry) if p else 0.0) + \
             cones.sdot(edims, z, rz) - gap
         relgap = _relgap(gap, pcost, dcost)
-        pres = jnp.maximum(yops.norm(ry) / resy0 if p else 0.0,
-                           cones.snrm2(edims, rz) / resz0)
-        dres = xops.norm(rx) / resx0
+        resx_v = float(xops.norm(rx))
+        resy_v = float(yops.norm(ry)) if p else 0.0
+        resznl_v = float(jnp.linalg.norm(rznl))
+        reszl_v = float(cones.snrm2(dims, rzl))
+        pres_raw = math.sqrt(resy_v ** 2 + resznl_v ** 2 + reszl_v ** 2)
+        if it == 0:
+            pres0 = max(1.0, pres_raw)
+            dres0 = max(1.0, resx_v)
+            # merit weights (reference cvxprog.py:713-719)
+            theta1 = 1.0 / float(gap)
+            theta2 = 1.0 / max(1.0, resx_v)
+            theta3 = 1.0 / max(1.0, resznl_v)
+        pres = pres_raw / pres0
+        dres = resx_v / dres0
+        phi = theta1 * float(gap) + theta2 * resx_v + theta3 * resznl_v
 
         if o.show_progress:
             print(f"{it:2d}: {float(pcost): .4e} {float(dcost): .4e} "
@@ -260,10 +306,22 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
             break
 
         _, _, H = feval(x, z[:mnl])
-        W, lmbda = cones.compute_scaling(edims, s, z)
+        if it == 0:
+            W, lmbda = cones.compute_scaling(edims, s, z,
+                                             method=o.sscaling)
         try:
             solve = factor(W, H=H, Df=Df)
         except Exception:
+            if 0 < relaxed_iters < MAX_RELAXED_ITERS and saved is not None:
+                # The singular factor may be caused by a relaxed line
+                # search: restore the saved series start and require a
+                # standard line search (reference cvxprog.py:785-815).
+                x, y = saved["x"], saved["y"]
+                s, z = saved["s"], saved["z"]
+                W, lmbda = saved["W"], saved["lmbda"]
+                relaxed_iters = -1
+                saved = None
+                continue
             status = SINGULAR
             break
         lmbdasq = cones.ssqr(edims, lmbda)
@@ -271,7 +329,18 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
 
         hmv = H if callable(H) else (lambda u: H @ u)
 
+        fb_solve_cache = []
+
         def newton(d_target):
+            out = _newton(solve, d_target)
+            if fallback_factor is not None and not _allfinite(*out):
+                if not fb_solve_cache:
+                    fb_solve_cache.append(
+                        fallback_factor(W, H=H, Df=Df))
+                out = _newton(fb_solve_cache[0], d_target)
+            return out
+
+        def _newton(solve, d_target):
             tmp = cones.sinv(edims, lmbda, d_target)
             bz = -rz - cones.scale(edims, W, tmp, trans=True)
             dx, dy, dz = solve(xops.scal(-1.0, rx),
@@ -300,13 +369,6 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         # line search: relaxed backtracking on
         #     phi = theta1*gap + theta2*||rx|| + theta3*||rznl||
         # (reference cvxprog.py:1010-1235; constants :385-388) ----------
-        resx_v = float(xops.norm(rx))
-        resznl_v = float(jnp.linalg.norm(rznl))
-        if it == 0:
-            theta1 = 1.0 / float(gap)
-            theta2 = 1.0 / max(1.0, resx_v)
-            theta3 = 1.0 / max(1.0, resznl_v)
-        phi = theta1 * float(gap) + theta2 * resx_v + theta3 * resznl_v
 
         def make_trial(xc, yc, sc, zc, dxc, dyc, dzc, dsc, sigma_c,
                        gap_c, dsdz_c):
@@ -336,40 +398,70 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
                             phi=newphi, stp=stp)
             return trial
 
+        def backtrack(tri, stp, phi_ref, dphi_ref):
+            """Standard backtracking to sufficient merit decrease
+            (reference cvxprog.py:1178-1186)."""
+            for _ in range(90):
+                tr = tri(stp)
+                if tr is not None and tr["phi"] <= phi_ref + \
+                        ALPHA * stp * dphi_ref:
+                    return tr
+                stp *= BETA
+            return None
+
+        def first_step(tri, stp):
+            """Relaxed acceptance: the first finite in-domain step
+            (the reference takes the full step unconditionally after
+            the domain backtrack, cvxprog.py:1186-1235)."""
+            for _ in range(60):
+                tr = tri(stp)
+                if tr is not None:
+                    return tr
+                stp *= BETA
+            return None
+
         sigma = 0.0
-        dsa_w = dza_w = None
         accepted = None
         failed = False
         for i in (0, 1):
-            if i == 0:
-                d_t = -lmbdasq
-            else:
-                d_t = -lmbdasq - cones.sprod(edims, dsa_w, dza_w) + \
-                    sigma * mu * e
+            # Note: unlike conelp, the reference's cpl corrector target
+            # has no second-order (ds o dz) term (cvxprog.py:976-992).
+            d_t = -lmbdasq if i == 0 else -lmbdasq + sigma * mu * e
             dx, dy, dz, ds = newton(d_t)
+            # scaled directions and the eigendecompositions needed for
+            # the post-step scaling update (reference :1040-1060)
             ds_w = cones.scale(edims, W, ds, trans=True, inverse=True)
             dz_w = cones.scale(edims, W, dz)
-            if i == 0:
-                dsa_w, dza_w = ds_w, dz_w
             dsdz = float(cones.sdot(edims, ds_w, dz_w))
-            ts, tz = cones.max_step2(
-                edims, cones.scale2(edims, lmbda, ds_w),
-                cones.scale2(edims, lmbda, dz_w))
+            ts, eig_s = cones.max_step_eig(
+                edims, cones.scale2(edims, lmbda, ds_w))
+            tz, eig_z = cones.max_step_eig(
+                edims, cones.scale2(edims, lmbda, dz_w))
             t = max(0.0, float(ts), float(tz))
             step = 1.0 if t <= 0.0 else min(1.0, STEP / t)
 
-            if i == 0:
-                dphi = -phi
-            else:
-                dphi = (-theta1 * (1.0 - sigma) * float(gap)
-                        - theta2 * resx_v - theta3 * resznl_v)
+            # backtrack until x + step*dx is in the domain of f
+            # (reference :1044-1053)
+            indom = False
+            for _ in range(60):
+                if feval(xops.axpy(dx, x, step)) is not None:
+                    indom = True
+                    break
+                step *= BETA
+            if not indom:
+                failed = True
+                break
+
             trial = make_trial(x, y, s, z, dx, dy, dz, ds, sigma,
                                float(gap), dsdz)
+            ctx = dict(trial=trial, x=x, y=y, s=s, z=z, W=W, lmbda=lmbda,
+                       ds_w=ds_w, dz_w=dz_w, eig_s=eig_s, eig_z=eig_z)
 
             if i == 0:
                 # predictor: backtrack until the gap decrease test (and,
                 # outside a relaxed series, sufficient phi decrease)
                 # holds (reference :1163-1170); exit sets sigma
+                dphi = -phi
                 tr = None
                 for _ in range(60):
                     tr = trial(step)
@@ -391,148 +483,90 @@ def cpl(c, F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
                 sigma = min(1.0, max(0.0, min(ratio, ratio ** EXPON)))
                 continue
 
-            # corrector: relaxed / standard backtracking with saved-state
-            # resume (reference :1080-1235)
-            if 0 <= relaxed_iters < MAX_RELAXED_ITERS:
-                # relaxed: accept the first in-domain step whose merit
-                # does not grossly explode RELATIVE TO THE SERIES START
-                # (bounded-deterioration guard: the reference's watchdog
-                # assumes locally sane Newton steps; far from the central
-                # path a full step can blow the merit up by orders of
-                # magnitude per step, and with a drifting baseline the
-                # series diverges geometrically and the save/resume cycle
-                # never recovers)
-                tr = None
-                cap = 10.0 * (phi0 if relaxed_iters > 0 else phi)
-                for _ in range(60):
-                    tr = trial(step)
-                    if tr is not None and tr["phi"] <= cap:
-                        break
-                    tr = None
-                    step *= BETA
-                if tr is None and relaxed_iters > 0:
-                    # mid-series and even a zero step exceeds the cap
-                    # (current phi already above it): abandon the series
-                    # and resume the saved first line search, standard
-                    # mode from here on
-                    rtrial = make_trial(
-                        saved["x"], saved["y"], saved["s"], saved["z"],
-                        saved["dx"], saved["dy"], saved["dz"],
-                        saved["ds"], saved["sigma"], saved["gap"],
-                        saved["dsdz"])
-                    stp = step0
-                    for _ in range(60):
-                        tr = rtrial(stp)
-                        if tr is not None and tr["phi"] <= phi0 + \
-                                ALPHA * stp * dphi0:
-                            break
-                        tr = None
-                        stp *= BETA
-                    relaxed_iters = -1
-                    if tr is None:
-                        failed = True
-                        break
-                    accepted = tr
-                    continue
+            # corrector: relaxed / standard line search with saved-state
+            # resume (reference :1080-1263)
+            dphi = (-theta1 * (1.0 - sigma) * float(gap)
+                    - theta2 * resx_v - theta3 * resznl_v)
+
+            if relaxed_iters == -1 or MAX_RELAXED_ITERS == 0:
+                # standard backtracking line search
+                tr = backtrack(trial, step, phi, dphi)
                 if tr is None:
                     failed = True
                     break
-                if relaxed_iters == 0:
-                    phi0, dphi0, step0 = phi, dphi, step
-                    saved = dict(x=x, y=y, s=s, z=z, dx=dx, dy=dy,
-                                 dz=dz, ds=ds, sigma=sigma,
-                                 gap=float(gap), dsdz=dsdz)
-                if tr["phi"] <= phi0 + ALPHA * step0 * dphi0:
+                accepted = (tr, ctx)
+            elif relaxed_iters == 0:
+                tr = first_step(trial, step)
+                if tr is None:
+                    failed = True
+                    break
+                if tr["phi"] <= phi + ALPHA * tr["stp"] * dphi:
                     relaxed_iters = 0
                 else:
-                    relaxed_iters += 1
-                accepted = tr
-            else:
-                # standard backtracking on sufficient phi decrease
-                tr = None
-                stp = step
-                for _ in range(60):
-                    tr = trial(stp)
-                    if tr is not None and tr["phi"] <= phi + ALPHA * \
-                            stp * dphi:
-                        break
-                    tr = None
-                    stp *= BETA
-                    if stp < 1e-10:
-                        break
-                if tr is not None and stp <= step * BETA ** 25:
-                    # a micro-step acceptance is numerical noise in the
-                    # predicted-gap model, not progress
-                    tr = None
+                    # save the series start for a possible later resume
+                    phi0, dphi0, step0 = phi, dphi, tr["stp"]
+                    saved = ctx
+                    relaxed_iters = 1
+                accepted = (tr, ctx)
+            elif relaxed_iters < MAX_RELAXED_ITERS:
+                tr = first_step(trial, step)
                 if tr is None:
-                    # escape hatch: the merit model predicts descent but
-                    # no practical step decreases phi (seen when the
-                    # merit — which excludes the linear-cone residual,
-                    # like the reference's — is locally flat at an
-                    # infeasible point).  Fall back to the round-1
-                    # bounded-deterioration acceptance so the iteration
-                    # keeps moving.
-                    stp = step
-                    for _ in range(60):
-                        t2 = trial(stp)
-                        if t2 is not None and t2["phi"] <= 2.0 * phi + \
-                                1e-8:
-                            tr = t2
-                            break
-                        stp *= BETA
-                if relaxed_iters == MAX_RELAXED_ITERS:
-                    if tr is not None and tr["phi"] <= phi0 + ALPHA * \
-                            step0 * dphi0:
-                        relaxed_iters = 0
-                        accepted = tr
-                    elif tr is not None and tr["phi"] < phi0:
-                        relaxed_iters = -1
-                        accepted = tr
-                    else:
-                        # Resume the saved first line search of the
-                        # series as a standard one (reference
-                        # :1231-1263), unwinding the whole relaxed
-                        # series.  Afterwards stay in standard mode
-                        # (relaxed_iters = -1): this matches the
-                        # reference's as-shipped behavior, where the
-                        # post-resume state is sticky, and prevents
-                        # save/explode/resume cycles on problems whose
-                        # full Newton steps diverge.
-                        rtrial = make_trial(
-                            saved["x"], saved["y"], saved["s"],
-                            saved["z"], saved["dx"], saved["dy"],
-                            saved["dz"], saved["ds"], saved["sigma"],
-                            saved["gap"], saved["dsdz"])
-                        tr = None
-                        stp = step0
-                        for _ in range(60):
-                            tr = rtrial(stp)
-                            if tr is not None and tr["phi"] <= phi0 + \
-                                    ALPHA * stp * dphi0:
-                                break
-                            tr = None
-                            stp *= BETA
-                        relaxed_iters = -1
-                        if tr is None:
-                            failed = True
-                            break
-                        accepted = tr
-                else:  # relaxed_iters == -1: stay in standard mode
+                    failed = True
+                    break
+                if tr["phi"] <= phi0 + ALPHA * step0 * dphi0:
+                    relaxed_iters = 0
+                    saved = None
+                else:
+                    relaxed_iters += 1
+                accepted = (tr, ctx)
+            else:  # relaxed_iters == MAX_RELAXED_ITERS
+                tr = first_step(trial, step)
+                if tr is not None and tr["phi"] <= phi0 + ALPHA * \
+                        step0 * dphi0:
+                    # series ends with sufficient decrease w.r.t. phi0
+                    relaxed_iters = 0
+                    saved = None
+                    accepted = (tr, ctx)
+                else:
+                    # resume the saved first line search of the series
+                    # as a standard one (reference :1231-1263); stay in
+                    # standard mode afterwards (the reference's shipped
+                    # behavior — its `relaxed_iters == 0` at :1184 is a
+                    # comparison, not an assignment)
+                    sctx = saved
+                    tr = backtrack(sctx["trial"], step0, phi0, dphi0)
+                    relaxed_iters = -1
+                    saved = None
                     if tr is None:
                         failed = True
                         break
-                    accepted = tr
+                    accepted = (tr, sctx)
 
         if _DEBUG_LS:
-            print(f"    [ls] it={it} sigma={sigma:.3e} relaxed={relaxed_iters} "
-                  f"phi={phi:.3e} acc_phi={accepted['phi'] if accepted else None} "
-                  f"acc_gap={accepted['gap'] if accepted else None} "
-                  f"acc_stp={accepted.get('stp') if accepted else None}")
+            acc_tr = accepted[0] if accepted else None
+            print(f"    [ls] it={it} sigma={sigma:.3e} "
+                  f"relaxed={relaxed_iters} phi={phi:.3e} "
+                  f"acc_phi={acc_tr['phi'] if acc_tr else None} "
+                  f"acc_gap={acc_tr['gap'] if acc_tr else None} "
+                  f"acc_stp={acc_tr.get('stp') if acc_tr else None}")
         if failed or accepted is None:
             status = UNKNOWN
             break
-        x, y = accepted["x"], accepted["y"]
-        s, z = accepted["s"], accepted["z"]
+        tr, ctx = accepted
+        x, y = tr["x"], tr["y"]
+        stp = tr["stp"]
+        # Incremental scaling update from the *scaled* new iterates
+        # (reference cvxprog.py:1268-1335 + misc.py:422): far better
+        # conditioned near the cone boundary than recomputing W from the
+        # unscaled pair — the fix for SDP-cone cpl stalls (acent2).
+        su = cones.step_scaled_iterates(edims, ctx["lmbda"], ctx["ds_w"],
+                                        ctx["eig_s"], stp)
+        zu = cones.step_scaled_iterates(edims, ctx["lmbda"], ctx["dz_w"],
+                                        ctx["eig_z"], stp)
+        W, lmbda = cones.update_scaling_inc(edims, ctx["W"], ctx["lmbda"],
+                                            su, zu, method=o.sscaling)
+        # unscaled s, z are only needed for feasibility residuals
+        s, z = cones.lmbda_to_cone(edims, W, lmbda)
 
     snl, sl = s[:mnl], s[mnl:]
     znl, zl = z[:mnl], z[mnl:]
@@ -578,7 +612,8 @@ def cp(F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
     f0 = F(x0)
     if f0 is None or f0[0] is None:
         raise ValueError("x0 must be in the domain of f")
-    t0 = float(jnp.atleast_1d(jnp.asarray(f0[0]))[0]) + 1.0
+    t0 = 0.0   # the reference starts the epigraph variable at 0
+               # (cvxprog.py:1778 `return mnl+1, [x0, 0.0]`)
 
     def F_e(xe=None, z=None):
         if xe is None:
@@ -635,7 +670,7 @@ def _cp_custom(F, G, h, dims, A, b, kktsolver, merged, dtype,
     f0 = F(x0)
     if f0 is None or f0[0] is None:
         raise ValueError("x0 must be in the domain of f")
-    t0 = jnp.asarray(jnp.atleast_1d(jnp.asarray(f0[0]))[0] + 1.0, dtype)
+    t0 = jnp.asarray(0.0, dtype)   # reference cvxprog.py:1778
 
     def F_e(xe=None, z=None):
         if xe is None:

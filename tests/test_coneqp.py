@@ -115,22 +115,34 @@ def test_coneqp_socp_cone():
 
 
 def test_coneqp_sdp_cone():
-    # min tr(X) + ||X - C||_F^2/2 over X psd, vectorized: nearest-psd-like
+    # min tr(X) + ||X - C||_F^2/2 over X psd.  X is parameterized by its
+    # m(m+1)/2 independent entries with a symmetric basis, so every G
+    # column's s-block is symmetric (the cone-program API reads only the
+    # lower triangle of s-block data — reference coneprog.rst / trisc).
     rng = np.random.default_rng(4)
     m = 3
     C = rng.standard_normal((m, m)); C = 0.5 * (C + C.T)
-    n = m * m
-    P = np.eye(n)
-    q = -(C.ravel()) + np.eye(m).ravel()
-    G = -np.eye(n)
-    h = np.zeros(n)
+    pairs = [(i, j) for i in range(m) for j in range(i + 1)]
+    n = len(pairs)
+    basis = []
+    for i, j in pairs:
+        B = np.zeros((m, m)); B[i, j] = 1.0; B[j, i] = 1.0
+        basis.append(B)
+    w = np.array([1.0 if i == j else 2.0 for i, j in pairs])
+    P = np.diag(w)
+    q = np.array([(1.0 if i == j else 0.0) - w[k] * C[i, j]
+                  for k, (i, j) in enumerate(pairs)])
+    G = -np.stack([B.ravel() for B in basis], axis=1)
+    h = np.zeros(m * m)
     dims = ConeDims(l=0, s=(m,))
     sol = coneqp(P, q, G, h, dims)
     assert sol["status"] == "optimal"
-    X = np.asarray(sol["x"]).reshape(m, m)
-    # oracle: solution is projection-like; X = proj_psd(C - I)
-    w, V = np.linalg.eigh(C - np.eye(m))
-    Xref = (V * np.maximum(w, 0)[None, :]) @ V.T
+    X = np.zeros((m, m))
+    for k, (i, j) in enumerate(pairs):
+        X[i, j] = X[j, i] = float(sol["x"][k])
+    # oracle: X = proj_psd(C - I)
+    wv, V = np.linalg.eigh(C - np.eye(m))
+    Xref = (V * np.maximum(wv, 0)[None, :]) @ V.T
     np.testing.assert_allclose(X, Xref, atol=1e-5)
 
 

@@ -228,14 +228,12 @@ def test_floorplan_example():
 def test_acent2_example():
     """chap9/acent2.py: analytic centering with q- and s-cone
     constraints; the userguide documents the optimum
-    x* = (0.411, 0.559, -0.720) (doc/source/solvers.rst).  KNOWN ISSUE
-    (ROADMAP): cpl with SDP cone constraints can stall near the
-    (s-infeasible) starting region on this problem."""
-    import pytest
+    x* = (0.411, 0.559, -0.720) (doc/source/solvers.rst).  Solved by the
+    round-3 cpl redesign: scaled-state iteration with the reference's
+    incremental update_scaling (misc.py:422) plus lower-triangle s-block
+    data semantics (sym_from_lower)."""
     import acent2 as ex
     sol = ex.main()
-    if sol["status"] != "optimal":
-        pytest.xfail("cpl + SDP cones stalls on acent2 "
-                     "(tracked in ROADMAP)")
+    assert sol["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(sol["x"]),
                                [0.4110, 0.5588, -0.7201], atol=1e-3)
