@@ -295,6 +295,10 @@ def main():
     if cl:
         large["cpu_f64_ms_per_solve"] = round(cl * 1e3, 1)
         large["vs_cpu"] = round(cl / tl, 2)
+    configs = {}
+    if os.environ.get("KVX_BENCH_CONFIGS", "1") != "0":
+        import bench_configs
+        configs = bench_configs.run_all()
     print(json.dumps({
         "metric": f"batched KKT factorize+solve throughput (n={N}, B={B})",
         "value": round(tpu_thr, 2),
@@ -302,6 +306,7 @@ def main():
         "vs_baseline": round(tpu_thr / cpu_thr, 2),
         "ipm": ipm,
         "ipm_large": large,
+        "configs": configs,
     }))
 
 
