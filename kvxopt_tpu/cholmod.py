@@ -92,10 +92,25 @@ class CholSymbolic:
         self._device = False
         fac = getattr(lib, "ldl_factor" + self._sfx)
         refac = getattr(lib, "ldl_refactor" + self._sfx)
+        # The native refactor reuses the symbolic structure of the FIRST
+        # factorization; feeding it a different sparsity pattern (e.g.
+        # explicit zeros pruned by scipy on an earlier call) would read
+        # out of bounds.  Detect pattern changes and fall back to a full
+        # factorization (the reference's CHOLMOD does the equivalent
+        # symbolic consistency check).
+        patt = getattr(self, "_patt", None)
+        same = (patt is not None and len(patt[0]) == len(cp)
+                and len(patt[1]) == len(ri)
+                and np.array_equal(patt[0], cp)
+                and np.array_equal(patt[1], ri))
+        if self._handle is not None and not same:
+            getattr(lib, "ldl_free" + self._sfx)(self._handle)
+            self._handle = None
         if self._handle is None:
             st = ctypes.c_longlong(0)
             self._handle = fac(self.n, cp, ri, vx, ctypes.byref(st))
             status = st.value
+            self._patt = (cp.copy(), ri.copy())
         else:
             status = refac(self._handle, self.n, cp, ri, vx)
         if status != 0:

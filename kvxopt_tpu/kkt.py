@@ -34,7 +34,8 @@ from jax.scipy.linalg import solve_triangular
 from . import cones
 from .cones import ConeDims
 
-STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr", "chol2_mixed")
+STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr", "chol2_mixed",
+              "chol2_mixed_nofb")
 
 
 def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
@@ -50,7 +51,15 @@ def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
     edims = dims.with_extra_l(mnl) if mnl else dims
     fn = {"chol2": _kkt_chol2, "chol": _kkt_chol, "qr": _kkt_qr,
           "ldl": _kkt_ldl, "ldl2": _kkt_ldl2,
-          "chol2_mixed": _kkt_chol2_mixed}[name]
+          "chol2_mixed": _kkt_chol2_mixed,
+          # chol2_mixed without the per-instance f64-factor fallback:
+          # the vmap-friendly variant (under vmap lax.cond lowers to a
+          # select, so the fallback branch would execute — and pay the
+          # emulated-f64 factorization — for EVERY lane).  Batch drivers
+          # pair it with a host-side f64 re-solve of failed lanes
+          # (parallel/batch.py batched_qp_solver_mixed).
+          "chol2_mixed_nofb": partial(_kkt_chol2_mixed,
+                                      fallback=False)}[name]
     return partial(fn, dims, edims, G, A, P, mnl, reg)
 
 
@@ -139,7 +148,7 @@ def _kkt_chol2(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
 # ---------------------------------------------------------------------------
 
 def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
-                rtol_factor=50.0):
+                rtol_factor=50.0, fallback=True):
     """Adaptive mixed-precision SPD solver core: equilibrated float32
     Cholesky (the TPU MXU fast path) + float64 iterative refinement
     against the *operator* kmul, with an automatic float64-factor
@@ -168,24 +177,25 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
         return dsc * _chol_solve(L32, (dsc * r).astype(
             K32.dtype)).astype(dtype)
 
-    # probe the actual refinement contraction rate
-    b0 = dsc / jnp.linalg.norm(dsc)
-    x0 = m_apply(b0)
-    r0 = b0 - kmul(x0)
-    x1 = x0 + m_apply(r0)
-    r1 = b0 - kmul(x1)
-    n0 = jnp.linalg.norm(r0)
-    n1 = jnp.linalg.norm(r1)
-    contr = n1 / jnp.maximum(n0, 1e-300)
-    bad = (~jnp.isfinite(contr)) | (contr > 0.5) | (~jnp.isfinite(n0))
+    if fallback:
+        # probe the actual refinement contraction rate
+        b0 = dsc / jnp.linalg.norm(dsc)
+        x0 = m_apply(b0)
+        r0 = b0 - kmul(x0)
+        x1 = x0 + m_apply(r0)
+        r1 = b0 - kmul(x1)
+        n0 = jnp.linalg.norm(r0)
+        n1 = jnp.linalg.norm(r1)
+        contr = n1 / jnp.maximum(n0, 1e-300)
+        bad = (~jnp.isfinite(contr)) | (contr > 0.5) | (~jnp.isfinite(n0))
 
-    L64 = jax.lax.cond(
-        bad, lambda: jnp.linalg.cholesky(k64_build()),
-        lambda: jnp.zeros(K32.shape, dtype))
+        L64 = jax.lax.cond(
+            bad, lambda: jnp.linalg.cholesky(k64_build()),
+            lambda: jnp.zeros(K32.shape, dtype))
 
-    def solve64(b):
-        y = solve_triangular(L64, b, lower=True)
-        return solve_triangular(L64.T, y, lower=False)
+        def solve64(b):
+            y = solve_triangular(L64, b, lower=True)
+            return solve_triangular(L64.T, y, lower=False)
 
     def solve32(b):
         bn = jnp.linalg.norm(b)
@@ -212,6 +222,9 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
             cond_fn, body, (x, r, rn, jnp.inf, jnp.int32(0)))
         return x
 
+    if not fallback:
+        return solve32
+
     def ksolve(b):
         return jax.lax.cond(bad, solve64, solve32, b)
 
@@ -219,7 +232,7 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
 
 
 def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
-                     rtol_factor=50.0):
+                     rtol_factor=50.0, fallback=True):
     """Dense-matrix convenience wrapper around `_mixed_core` (used for
     Schur complements and standalone SPD solves)."""
     from . import config
@@ -227,10 +240,11 @@ def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
     if reg:
         K = K + reg * jnp.eye(K.shape[0], dtype=K.dtype)
     return _mixed_core(lambda x: K @ x, K.astype(cdt), K.dtype,
-                       lambda: K, max_refine, rtol_factor)
+                       lambda: K, max_refine, rtol_factor, fallback)
 
 
-def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
+def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
+                     fallback=True):
     """Condensed normal equations with the adaptive mixed-precision SPD
     solver.  The TPU performance configuration at the reference's 1e-7
     tolerances (coneprog.py:440-454): the O(N n^2) normal-equations
@@ -264,11 +278,12 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
             K = K + reg * jnp.eye(n, dtype=G.dtype)
         return K
 
-    ksolve = _mixed_core(kmul, Kx32, G.dtype, k64_build)
+    ksolve = _mixed_core(kmul, Kx32, G.dtype, k64_build,
+                         fallback=fallback)
     if p:
         KiAt = jax.vmap(ksolve, in_axes=1, out_axes=1)(A.T)
         S = A @ KiAt
-        ssolve = mixed_spd_solver(S, reg)
+        ssolve = mixed_spd_solver(S, reg, fallback=fallback)
 
     def solve(bx, by, bz):
         bzs = cones.scale(edims, W, bz, trans=True, inverse=True)
