@@ -16,3 +16,5 @@ from .batch import (  # noqa: F401
     batched_lp_solver, make_mesh)
 from .sharded import sharded_kkt_factor, sharded_kkt_solver  # noqa: F401
 from .arrow import arrow_kkt_factor  # noqa: F401
+from .dist_chol import (  # noqa: F401
+    dist_chol_factory, dist_cholesky, cyclic_pack, cyclic_unpack)

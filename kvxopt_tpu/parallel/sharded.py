@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
@@ -54,7 +55,11 @@ class _ConeShards:
         self.mesh = mesh
         self.axis = axis
         self.dims = dims
-        self.ndev = mesh.shape[axis]
+        # axis may be one mesh axis name or a tuple of names (a
+        # hierarchical ('dcn', 'ici') mesh: psum over the tuple lowers to
+        # an intra-slice ICI reduction followed by a DCN all-reduce)
+        self.ndev = (int(np.prod([mesh.shape[a] for a in axis]))
+                     if isinstance(axis, tuple) else mesh.shape[axis])
         self.n = G.shape[1]
         self.dtype = G.dtype
         nd = self.ndev

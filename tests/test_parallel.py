@@ -402,3 +402,58 @@ def test_cpl_through_sharded_kkt():
     assert sol_sh["status"] == "optimal"
     np.testing.assert_allclose(np.asarray(sol_sh["x"]),
                                np.asarray(sol_ref["x"]), atol=1e-6)
+
+
+def test_dist_cholesky_identity():
+    from jax.sharding import Mesh
+    """Block-cyclic distributed Cholesky over 8 devices: factor identity
+    L L' = K and solve round trip, on both a flat 'kkt' axis and a
+    hierarchical ('dcn','ici') 2x4 mesh (VERDICT r2 item 6)."""
+    from kvxopt_tpu.parallel import dist_cholesky, cyclic_unpack
+
+    rng = np.random.default_rng(11)
+    n, nb = 256, 32
+    M = rng.standard_normal((n, n))
+    K = M @ M.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    meshes = [
+        (Mesh(np.array(jax.devices()[:8]), ("kkt",)), "kkt"),
+        (Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+              ("dcn", "ici")), ("dcn", "ici")),
+    ]
+    for mesh, ax in meshes:
+        Lst, solve = dist_cholesky(mesh, ax, K, nb)
+        L = np.asarray(cyclic_unpack(Lst, nb, 8))
+        assert np.allclose(np.tril(L), L)
+        np.testing.assert_allclose(L @ L.T, K, atol=1e-8 * n)
+        x = np.asarray(solve(Lst, jnp.asarray(b)))
+        np.testing.assert_allclose(K @ x, b, atol=1e-8 * n)
+
+
+def test_sharded_kkt_hierarchical_axis():
+    from jax.sharding import Mesh
+    """sharded_kkt_solver over a hierarchical ('dcn','ici') axis tuple:
+    the psum reduction rides both axes (DCN-shaped program structure)."""
+    from kvxopt_tpu.parallel import sharded_kkt_solver
+    from kvxopt_tpu import cones, kkt
+
+    rng = np.random.default_rng(12)
+    n, m = 24, 64
+    G = rng.standard_normal((m, n))
+    dims = ConeDims(l=m)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("dcn", "ici"))
+    factor = sharded_kkt_solver(mesh, ("dcn", "ici"), dims, G)
+    s = np.abs(rng.standard_normal(m)) + 0.5
+    z = np.abs(rng.standard_normal(m)) + 0.5
+    W, _ = cones.compute_scaling(dims, jnp.asarray(s), jnp.asarray(z))
+    solve = factor(W)
+    bx = jnp.asarray(rng.standard_normal(n))
+    bz = jnp.asarray(rng.standard_normal(m))
+    ux, uy, uz = solve(bx, jnp.zeros((0,)), bz)
+    # residuals of the 2x2 system [0 G'; G -W'W]
+    d2 = np.asarray(W.d) ** 2
+    r1 = np.asarray(G.T @ np.asarray(uz) - bx)
+    r2 = np.asarray(G @ np.asarray(ux) - d2 * np.asarray(uz) - bz)
+    assert np.linalg.norm(r1) < 1e-8
+    assert np.linalg.norm(r2) < 1e-8
