@@ -15,16 +15,18 @@ device whenever the default jax backend is an accelerator), numeric
 factorization runs the tile-supernodal MXU kernel (ops/tile_chol.py —
 one lax.scan over the block-column op table): symbolic tile analysis
 happens once, repeated `numeric(A, F)` calls are device-side value-only
-refactorization.  The device path serves solve(sys=0), spsolve,
-linsolve, splinsolve, diag and getfactor; the split-system solves
-(sys=1..6) use the simplicial host factor.
+refactorization.  The device path serves every sys code 0..8 of
+solve/spsolve (the split systems 1..6 are expressed in the host LDL'
+convention from the tile LL' factor) plus linsolve, splinsolve, diag
+and getfactor, for both 'd' and Hermitian 'z' matrices — full parity
+with the reference's cholmod.c:401 solve table.
 
 Repeated `numeric(A, F)` calls on the same symbolic object reuse the
 factor pattern and only recompute values (free fast-refactorization, the
 analogue of CHOLMOD's separate symbolic/numeric phases).
 
 Supports 'd' (symmetric) and 'z' (Hermitian LDL^H with real D)
-matrices; the device path is real ('d') only.
+matrices on both paths.
 """
 
 import numpy as np
@@ -85,8 +87,7 @@ class CholSymbolic:
 
     def factorize(self, A):
         cp, ri, vx = self._permuted_lower(A)
-        if (options.get("supernodal", 2) != 0 and not self.is_complex
-                and _device_active()):
+        if options.get("supernodal", 2) != 0 and _device_active():
             self._factorize_device(cp, ri, vx)
             return
         self._device = False
@@ -137,6 +138,12 @@ class CholSymbolic:
             self._jsolve = jax.jit(jax.vmap(self._tile.solve,
                                             in_axes=(None, 1),
                                             out_axes=1))
+            self._jsolve_l = jax.jit(jax.vmap(self._tile.solve_l,
+                                              in_axes=(None, 1),
+                                              out_axes=1))
+            self._jsolve_lt = jax.jit(jax.vmap(self._tile.solve_lt,
+                                               in_axes=(None, 1),
+                                               out_axes=1))
         X = self._tile.tiles_from_csc(low)
         Xf = self._jfactor(jnp.asarray(X))
         Ld = self._diag_of_tiles(Xf)
@@ -153,7 +160,8 @@ class CholSymbolic:
         Xh = np.asarray(Xf)
         for j in range(t.T):
             blk = Xh[t.slot[(j, j)]]
-            out[j * t.ts:(j + 1) * t.ts] = np.diagonal(blk)
+            # diag(L) of a Hermitian PD factor is real positive
+            out[j * t.ts:(j + 1) * t.ts] = np.diagonal(blk).real
         return out[: self.n]
 
     def Dvals(self):
@@ -165,19 +173,38 @@ class CholSymbolic:
 
     def solve_permuted(self, barr, mode):
         if getattr(self, "_device", False):
-            if mode != 0:
-                raise NotImplementedError(
-                    "split-system solves (sys=1..6) require the "
-                    "simplicial host factor; set "
-                    "cholmod.options['device'] = False")
-            out = np.asarray(self._jsolve(
-                self._X, np.ascontiguousarray(barr, dtype=np.float64)))
-            return out
+            return self._solve_device(barr, {0: 1, 4: 2, 5: 3, 1: 4,
+                                             3: 5, 2: 6}.get(mode, 1)
+                                      if mode != 0 else 0)
         dtype = np.complex128 if self.is_complex else np.float64
         work = np.ascontiguousarray(barr.T, dtype=dtype)
         getattr(lib, "ldl_solve" + self._sfx)(self._handle, work,
                                               work.shape[0], mode)
         return work.T
+
+    def _solve_device(self, barr, sys):
+        """Device-tile solves for all split systems, in the host LDL'
+        convention (unit L, D = diag(L)^2; the tile factor is LL' with
+        L = L_unit sqrt(D)) — reference cholmod.c:401 sys codes."""
+        import jax.numpy as jnp
+        dtype = np.complex128 if self.is_complex else np.float64
+        arr = jnp.asarray(np.ascontiguousarray(barr, dtype=dtype))
+        dh = jnp.asarray(self._diag_of_tiles(self._X))[:, None]
+        if sys in (0, 1):
+            out = self._jsolve(self._X, arr)
+        elif sys == 2:      # L_unit D x = b  ->  x = L^{-1} b / diag(L)
+            out = self._jsolve_l(self._X, arr) / dh
+        elif sys == 3:      # D L_unit' x = b -> x = L^{-H}(b / diag(L))
+            out = self._jsolve_lt(self._X, arr / dh)
+        elif sys == 4:      # L_unit x = b    -> x = diag(L) L^{-1} b
+            out = self._jsolve_l(self._X, arr) * dh
+        elif sys == 5:      # L_unit' x = b   -> x = L^{-H}(diag(L) b)
+            out = self._jsolve_lt(self._X, arr * dh)
+        elif sys == 6:      # D x = b
+            out = arr / (dh * dh)
+        else:
+            raise ValueError("sys must be in 0..8")
+        return np.asarray(out)
 
     def get_L(self):
         n = self.n

@@ -138,7 +138,9 @@ class TileCholesky:
         the factorization of the padded matrix is well-posed)."""
         import scipy.sparse as sp
         ts, T, n = self.ts, self.T, self.n
-        X = np.zeros((self.NT, ts, ts), dtype=np.float64)
+        dtype = (np.complex128 if np.iscomplexobj(low.data)
+                 else np.float64)
+        X = np.zeros((self.NT, ts, ts), dtype=dtype)
         low = sp.csr_matrix(low)
         for k, (i, j) in enumerate(self.tiles):
             r0, r1 = i * ts, min((i + 1) * ts, n)
@@ -148,9 +150,10 @@ class TileCholesky:
                     low[r0:r1, c0:c1].toarray()
             if i == j:
                 # jnp.linalg.cholesky reads the full matrix: mirror the
-                # stored lower triangle of diagonal tiles
+                # stored lower triangle of diagonal tiles (Hermitian
+                # for complex dtypes)
                 blk = X[k]
-                X[k] = np.tril(blk) + np.tril(blk, -1).T
+                X[k] = np.tril(blk) + np.tril(blk, -1).conj().T
                 if r1 - r0 < ts:
                     for d in range(max(r1 - r0, 0), ts):
                         X[k, d, d] = 1.0
@@ -187,8 +190,9 @@ class TileCholesky:
         def body(Xc, tab):
             dst, a, b, dj, slots = tab
             if self.maxU:
+                # X[ij] -= L[ia] L[jb]^H (conj is a no-op for real dtypes)
                 upd = jax.lax.dot_general(
-                    Xc[a], Xc[b],
+                    Xc[a], Xc[b].conj(),
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=Xc.dtype)
                 Xc = Xc.at[dst].add(-upd)
@@ -197,10 +201,11 @@ class TileCholesky:
             Xc = Xc.at[dj].set(Ljj)
             if self.maxR:
                 col = Xc[slots]
-                # X[ij] := X[ij] L_jj^{-T}: solve X L' = B
+                # X[ij] := X[ij] L_jj^{-H}: solve X L^H = B
                 sol = triangular_solve(
                     jnp.broadcast_to(Ljj, col.shape), col,
-                    left_side=False, lower=True, transpose_a=True)
+                    left_side=False, lower=True, transpose_a=True,
+                    conjugate_a=True)
                 Xc = Xc.at[slots].set(sol)
                 Xc = Xc.at[NT].set(0.0)
             return Xc, None
@@ -208,23 +213,25 @@ class TileCholesky:
         Xe, _ = jax.lax.scan(body, Xe, tabs)
         return Xe[:NT]
 
-    def solve(self, X, bvec):
-        """Solve A x = b given factored tiles X (block forward + backward
-        substitution, each one lax.scan over the padded op table)."""
+    def _pad_vec(self, bvec):
         ts, T, n = self.ts, self.T, self.n
-        npad = T * ts
-        NT = self.NT
-        Xe = jnp.concatenate(
-            [X, jnp.zeros((1, ts, ts), X.dtype)], axis=0)
-        b = jnp.zeros((npad,), bvec.dtype).at[:n].set(bvec)
+        b = jnp.zeros((T * ts,), bvec.dtype).at[:n].set(bvec)
         # one scratch row-tile (index T) absorbs padded updates
-        y = jnp.concatenate([b.reshape(T, ts),
-                             jnp.zeros((1, ts), bvec.dtype)], axis=0)
-        jidx = jnp.arange(T, dtype=jnp.int32)
-        tabs = (jidx, jnp.asarray(self.tab_diag),
+        return jnp.concatenate([b.reshape(T, ts),
+                                jnp.zeros((1, ts), bvec.dtype)], axis=0)
+
+    def _tabs(self):
+        jidx = jnp.arange(self.T, dtype=jnp.int32)
+        return (jidx, jnp.asarray(self.tab_diag),
                 jnp.asarray(self.tab_cols), jnp.asarray(self.tab_rows))
 
-        # forward: L y = b
+    def solve_l(self, X, bvec):
+        """Forward block substitution: L y = b."""
+        ts, T, n = self.ts, self.T, self.n
+        Xe = jnp.concatenate(
+            [X, jnp.zeros((1, ts, ts), X.dtype)], axis=0)
+        y = self._pad_vec(bvec)
+
         def fwd(yc, tab):
             j, dj, slots, rows = tab
             yj = triangular_solve(Xe[dj], yc[j][:, None],
@@ -236,22 +243,35 @@ class TileCholesky:
                 yc = yc.at[T].set(0.0)
             return yc, None
 
-        y, _ = jax.lax.scan(fwd, y, tabs)
+        y, _ = jax.lax.scan(fwd, y, self._tabs())
+        return y[:T].reshape(-1)[:n]
 
-        # backward: L' x = y (reverse order)
+    def solve_lt(self, X, bvec):
+        """Backward block substitution: L^H x = b (L' for real)."""
+        ts, T, n = self.ts, self.T, self.n
+        Xe = jnp.concatenate(
+            [X, jnp.zeros((1, ts, ts), X.dtype)], axis=0)
+        y = self._pad_vec(bvec)
+
         def bwd(yc, tab):
             j, dj, slots, rows = tab
             if self.maxR:
-                acc = yc[j] - jnp.einsum("rji,rj->i", Xe[slots],
-                                         yc[rows])
+                acc = yc[j] - jnp.einsum("rji,rj->i",
+                                         Xe[slots].conj(), yc[rows])
             else:
                 acc = yc[j]
             xj = triangular_solve(Xe[dj], acc[:, None], left_side=True,
-                                  lower=True, transpose_a=True)[:, 0]
+                                  lower=True, transpose_a=True,
+                                  conjugate_a=True)[:, 0]
             return yc.at[j].set(xj), None
 
-        y, _ = jax.lax.scan(bwd, y, tabs, reverse=True)
+        y, _ = jax.lax.scan(bwd, y, self._tabs(), reverse=True)
         return y[:T].reshape(-1)[:n]
+
+    def solve(self, X, bvec):
+        """Solve A x = b given factored tiles X (block forward + backward
+        substitution, each one lax.scan over the padded op table)."""
+        return self.solve_lt(X, self.solve_l(X, bvec))
 
 
 def tile_pattern_from_sparse(A, ts=128):
