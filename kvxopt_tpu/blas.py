@@ -201,13 +201,15 @@ def _band_to_dense(Av, m, n, kl, ku):
     return D
 
 
-def gbmv(A, x, y, m=None, kl=0, ku=0, trans="N", alpha=1.0, beta=0.0,
-         n=None, ldA=None, incx=1, incy=1, offsetA=0, offsetx=0,
+def gbmv(A, m, kl, x, y, trans="N", alpha=1.0, beta=0.0, n=None,
+         ku=None, ldA=None, incx=1, incy=1, offsetA=0, offsetx=0,
          offsety=0):
+    """Reference argument order (blas.c:986): gbmv(A, m, kl, x, y, ...)
+    with ku defaulting to A.size[0] - kl - 1."""
     if n is None:
         n = A.size[1]
-    if m is None:
-        m = n
+    if ku is None:
+        ku = A.size[0] - kl - 1
     Av, _ = _mat(A, kl + ku + 1, n, ldA if ldA else A.size[0], offsetA)
     D = _band_to_dense(Av, m, n, kl, ku)
     rows = m if trans == "N" else n
@@ -217,7 +219,7 @@ def gbmv(A, x, y, m=None, kl=0, ku=0, trans="N", alpha=1.0, beta=0.0,
     fy[iy] = alpha * (_op(D, trans) @ fx[ix]) + beta * fy[iy]
 
 
-def _sband_to_dense(Av, n, k, uplo):
+def _sband_to_dense(Av, n, k, uplo, her=False):
     D = np.zeros((n, n), dtype=Av.dtype)
     for j in range(n):
         if uplo == "L":
@@ -226,24 +228,41 @@ def _sband_to_dense(Av, n, k, uplo):
         else:
             for i in range(max(0, j - k), j + 1):
                 D[i, j] = Av[k + i - j, j]
-    return np.tril(D) + np.tril(D, -1).T if uplo == "L" else \
-        np.triu(D) + np.triu(D, 1).T
+    mirror = (lambda M: M.conj().T) if her else (lambda M: M.T)
+    if uplo == "L":
+        out = np.tril(D) + mirror(np.tril(D, -1))
+    else:
+        out = np.triu(D) + mirror(np.triu(D, 1))
+    if her:
+        out[np.arange(n), np.arange(n)] = out.diagonal().real
+    return out
 
 
-def sbmv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, k=None, ldA=None,
-         incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
+def _sbmv_impl(A, x, y, uplo, alpha, beta, n, k, ldA, incx, incy,
+               offsetA, offsetx, offsety, her):
     if n is None:
         n = A.size[1]
     if k is None:
         k = max(0, A.size[0] - 1)
     Av, _ = _mat(A, k + 1, n, ldA if ldA else A.size[0], offsetA)
-    D = _sband_to_dense(Av, n, k, uplo)
+    D = _sband_to_dense(Av, n, k, uplo, her=her)
     fx, ix = _vec(x, n, incx, offsetx)
     fy, iy = _vec(y, n, incy, offsety)
     fy[iy] = alpha * (D @ fx[ix]) + beta * fy[iy]
 
 
-hbmv = sbmv  # Hermitian banded: same storage; complex data handled alike
+def sbmv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, k=None, ldA=None,
+         incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
+    _sbmv_impl(A, x, y, uplo, alpha, beta, n, k, ldA, incx, incy,
+               offsetA, offsetx, offsety, her=False)
+
+
+def hbmv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, k=None, ldA=None,
+         incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
+    """Hermitian banded matrix-vector product (blas.c hbmv): same band
+    storage as sbmv but the mirrored triangle is conjugated."""
+    _sbmv_impl(A, x, y, uplo, alpha, beta, n, k, ldA, incx, incy,
+               offsetA, offsetx, offsety, her=True)
 
 
 def trmv(A, x, uplo="L", trans="N", diag="N", n=None, ldA=None, incx=1,

@@ -101,8 +101,10 @@ def gesv(A, B, ipiv=None):
     fn = _lp.zgetrs if a.dtype.kind == "c" else _lp.dgetrs
     x, info = fn(lu, piv, np.asarray(B).reshape(a.shape[0], -1))
     _check(info, "gesv")
-    _write(A, lu)
+    # reference semantics (lapack.c:648): A is overwritten with the LU
+    # factors only when ipiv is supplied; without ipiv, A is unchanged
     if ipiv is not None:
+        _write(A, lu)
         ipiv._a = np.asfortranarray(
             (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
     _write(B, x.reshape(np.asarray(B).shape))
@@ -141,17 +143,29 @@ def gbtrs(A, kl, ipiv, B, trans="N"):
     _write(B, x.reshape(np.asarray(B).shape))
 
 
-def gbsv(A, kl, B, ipiv=None):
+def gbsv(A, kl, B, ipiv=None, ku=None):
+    """Reference semantics (lapack.c:992): with ipiv, A has 2*kl+ku+1
+    rows (gbtrf storage) and is overwritten with the factorization;
+    without ipiv, A holds just the kl+ku+1 diagonals and is unchanged."""
     a = _arr(A)
-    ku = a.shape[0] - 2 * kl - 1
     fn = _lp.zgbsv if a.dtype.kind == "c" else _lp.dgbsv
-    lub, piv, x, info = fn(kl, ku, a, np.asarray(B).reshape(
-        a.shape[1], -1))
-    _check(info, "gbsv")
-    _write(A, lub)
     if ipiv is not None:
+        if ku is None:
+            ku = a.shape[0] - 2 * kl - 1
+        lub, piv, x, info = fn(kl, ku, a, np.asarray(B).reshape(
+            a.shape[1], -1))
+        _check(info, "gbsv")
+        _write(A, lub)
         ipiv._a = np.asfortranarray(
             (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+    else:
+        if ku is None:
+            ku = a.shape[0] - kl - 1
+        ab = np.zeros((2 * kl + ku + 1, a.shape[1]), dtype=a.dtype)
+        ab[kl:, :] = a[: kl + ku + 1, :]
+        lub, piv, x, info = fn(kl, ku, ab, np.asarray(B).reshape(
+            a.shape[1], -1))
+        _check(info, "gbsv")
     _write(B, x.reshape(np.asarray(B).shape))
 
 
@@ -162,13 +176,15 @@ def gttrf(dl, d, du, du2, ipiv):
         np.asarray(du).reshape(-1))
     _check(info, "gttrf")
     _write(dl, dl2); _write(d, d2); _write(du, du_2); _write(du2, du2_2)
+    # scipy's gttrf already returns LAPACK's 1-based pivots (unlike
+    # getrf, whose scipy wrapper converts to 0-based)
     ipiv._a = np.asfortranarray(
-        (piv.astype(np.int64) + 1).reshape(ipiv._a.shape, order="F"))
+        piv.astype(np.int64).reshape(ipiv._a.shape, order="F"))
 
 
 def gttrs(dl, d, du, du2, ipiv, B, trans="N"):
     fn = _lp.zgttrs if _complexkind(d) else _lp.dgttrs
-    piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
+    piv = np.asarray(ipiv).reshape(-1).astype(np.int32)
     n = np.asarray(d).size
     tr = {"N": "N", "T": "T", "C": "C"}[trans]
     x, info = fn(np.asarray(dl).reshape(-1), np.asarray(d).reshape(-1),
@@ -310,9 +326,18 @@ def sytri(A, ipiv, uplo="L"):
     _write(A, inv)
 
 
-def sysv(A, ipiv, B, uplo="L"):
-    sytrf(A, ipiv, uplo)
-    sytrs(A, ipiv, B, uplo)
+def sysv(A, B, ipiv=None, uplo="L"):
+    """Reference argument order (lapack.c:2947): sysv(A, B, ipiv=None);
+    without ipiv the factorization is not returned and A is unchanged."""
+    if ipiv is None:
+        from .base import matrix as _m
+        Ac = _m(np.array(_arr(A)))
+        tmp = _m(np.zeros((_arr(A).shape[0], 1), dtype=np.intc))
+        sytrf(Ac, tmp, uplo)
+        sytrs(Ac, tmp, B, uplo)
+    else:
+        sytrf(A, ipiv, uplo)
+        sytrs(A, ipiv, B, uplo)
 
 
 def hetrf(A, ipiv, uplo="L"):
@@ -347,9 +372,18 @@ def hetri(A, ipiv, uplo="L"):
     _write(A, inv)
 
 
-def hesv(A, ipiv, B, uplo="L"):
-    hetrf(A, ipiv, uplo)
-    hetrs(A, ipiv, B, uplo)
+def hesv(A, B, ipiv=None, uplo="L"):
+    """Reference argument order (lapack.c:3129): hesv(A, B, ipiv=None);
+    without ipiv the factorization is not returned and A is unchanged."""
+    if ipiv is None:
+        from .base import matrix as _m
+        Ac = _m(np.array(_arr(A)))
+        tmp = _m(np.zeros((_arr(A).shape[0], 1), dtype=np.intc))
+        hetrf(Ac, tmp, uplo)
+        hetrs(Ac, tmp, B, uplo)
+    else:
+        hetrf(A, ipiv, uplo)
+        hetrs(A, ipiv, B, uplo)
 
 
 # --- triangular ------------------------------------------------------------
@@ -448,24 +482,31 @@ ungqr = orgqr
 
 
 def gelqf(A, tau):
-    """LQ via QR of A^T (scipy lacks gelqf): A = L Q."""
+    """LQ via QR of A^H (scipy lacks a gelqf wrapper): A = L Q.  The
+    explicit factors travel on the matrix object (disclosed compat shim:
+    the Householder (A, tau) representation is not reproduced, but
+    orglq/ormlq consume this factor with the reference's semantics)."""
     a = _arr(A)
-    q, r = np.linalg.qr(a.conj().T, mode="reduced")
-    # A = (QR)^H = R^H Q^H: store L = R^H in the lower part and keep Q
-    A._lq = (r.conj().T, q.conj().T)   # (L, Q)
-    L, Q = A._lq
+    qf, rf = np.linalg.qr(a.conj().T, mode="complete")
+    k = min(a.shape)
+    # A = (Q_full R)^H = R^H Q_full^H; rows of Qfull^H beyond k complete
+    # the orthogonal basis (needed to apply the full implicit Q)
+    A._lq = (rf[:k, :].conj().T, qf.conj().T)   # (L (m,k), Qfull (n,n))
+    L, Qf = A._lq
     out = a.copy()
-    out[: L.shape[0], : L.shape[1]] = L
+    out[: L.shape[0], : L.shape[1]] = np.tril(L)
     _write(A, out)
-    _write(tau, np.zeros(min(a.shape), dtype=a.dtype))
+    _write(tau, np.zeros(k, dtype=a.dtype))
 
 
 def ormlq(A, tau, C, side="L", trans="N"):
+    """Multiply C by the full implicit Q of a gelqf factorization
+    (reference ormlq: Q has order C.rows for side='L')."""
     if not hasattr(A, "_lq"):
         raise ValueError("ormlq requires a gelqf-factored A")
-    _, Q = A._lq
+    _, Qf = A._lq
     cc = np.asarray(C)
-    op = Q if trans == "N" else Q.conj().T
+    op = Qf if trans == "N" else Qf.conj().T
     out = op @ cc if side == "L" else cc @ op
     _write(C, out)
 
@@ -476,10 +517,12 @@ unmlq = ormlq
 def orglq(A, tau):
     if not hasattr(A, "_lq"):
         raise ValueError("orglq requires a gelqf-factored A")
-    _, Q = A._lq
+    _, Qf = A._lq
     a = _arr(A)
-    k = min(a.shape)
-    _write(A, np.asarray(Q)[:a.shape[0], :])
+    out = a.copy()
+    rows = min(a.shape[0], Qf.shape[0])
+    out[:rows, :] = np.asarray(Qf)[:rows, : a.shape[1]]
+    _write(A, out)
 
 
 unglq = orglq
@@ -619,10 +662,17 @@ def gees(A, w, V=None, select=None):
     no select function is given)."""
     a = _arr(A)
     if a.dtype.kind == "c":
-        T, Z, sdim = sla.schur(a, output="complex", sort=select)
+        if select is not None:
+            T, Z, sdim = sla.schur(a, output="complex", sort=select)
+        else:
+            T, Z = sla.schur(a, output="complex")
+            sdim = 0
     else:
-        T, Z = sla.schur(a, output="real")
-        sdim = 0
+        if select is not None:
+            T, Z, sdim = sla.schur(a, output="real", sort=select)
+        else:
+            T, Z = sla.schur(a, output="real")
+            sdim = 0
     _write(A, T)
     ev = sla.eigvals(T)
     wv = np.asarray(w).reshape(-1).astype(np.complex128)
@@ -642,13 +692,28 @@ def gges(A, B, a=None, b=None, Vl=None, Vr=None, select=None):
     S, T, Q, Z = out
     _write(A, S)
     _write(B, T)
+    if a is not None or b is not None:
+        n = S.shape[0]
+        alpha = np.zeros(n, np.complex128)
+        beta = np.zeros(n, np.complex128)
+        i = 0
+        while i < n:
+            if Aa.dtype.kind != "c" and i + 1 < n and S[i + 1, i] != 0:
+                # 2x2 block: complex conjugate generalized eigenpair
+                lam = sla.eigvals(S[i:i + 2, i:i + 2],
+                                  T[i:i + 2, i:i + 2])
+                alpha[i:i + 2] = lam
+                beta[i:i + 2] = 1.0
+                i += 2
+            else:
+                alpha[i] = S[i, i]
+                beta[i] = T[i, i]
+                i += 1
     if a is not None:
-        alpha = np.diag(S).astype(np.complex128)
         av = np.asarray(a).reshape(-1).astype(np.complex128)
         av[: len(alpha)] = alpha
         _write(a, av)
     if b is not None:
-        beta = np.diag(T).astype(np.complex128)
         bv = np.asarray(b).reshape(-1).astype(np.complex128)
         bv[: len(beta)] = beta.real if bv.dtype.kind != "c" else beta
         _write(b, bv)

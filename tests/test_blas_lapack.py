@@ -163,7 +163,7 @@ def test_sytrf_sysv():
     B = matrix(rng.standard_normal((6, 1)))
     B0 = np.asarray(B).copy()
     ipiv = matrix(0, (6, 1), tc="i")
-    lapack.sysv(S, ipiv, B)
+    lapack.sysv(S, B, ipiv)   # reference argument order (lapack.c:2947)
     np.testing.assert_allclose(S0 @ np.asarray(B), B0, atol=1e-9)
 
 
