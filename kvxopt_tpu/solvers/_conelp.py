@@ -83,8 +83,7 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     dims = ConeDims.from_dict(dims)
     if dims.degree == 0:
         raise ValueError("the cone must be nonempty")
-    h = cones.sym_from_lower(
-        dims, _asarray(h, dtype, shape=(dims.size,), name="h"))
+    h = _asarray(h, dtype, shape=(dims.size,), name="h")
     has_y = 1
     if not custom_y:
         b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
@@ -93,8 +92,8 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
 
     G_is_op = callable(G)
     A_is_op = A is not None and callable(A)
-    Ga = None if G_is_op else cones.sym_from_lower_cols(
-        dims, _asarray(G, dtype, shape=(dims.size, n), name="G"))
+    Ga = None if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
+                                       name="G")
     Aa = None
     if not A_is_op:
         Aa = (jnp.zeros((0, n), dtype) if A is None and n is not None
@@ -102,18 +101,8 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
 
     if kktsolver is None:
         kktsolver = "qr" if (dims.q or dims.s) else "chol2"
-    if isinstance(kktsolver, str):
-        if G_is_op or A_is_op:
-            raise ValueError("operator-form G/A require a custom kktsolver")
-        factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, None,
-                                     reg=o.kktreg)
-    else:
-        factor = kktsolver
-
-    gmv = G if G_is_op else (lambda x, trans=False:
-                             (Ga.T @ x if trans else Ga @ x))
-    amv = A if A_is_op else (lambda x, trans=False:
-                             (Aa.T @ x if trans else Aa @ x))
+    if isinstance(kktsolver, str) and (G_is_op or A_is_op):
+        raise ValueError("operator-form G/A require a custom kktsolver")
 
     ps = None
     if primalstart is not None:
@@ -135,11 +124,26 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     # retracing on repeated same-shape solves)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)
             and ps is None and dst is None and not (custom_x or custom_y)):
-        from .coneprog import _cached_lp_solver
-        solve_fn = _cached_lp_solver(dims, kktsolver, o)
-        state = solve_fn(c, Ga, h, Aa, b)
-        return _conelp_result(state, c, h, b, dims)
+        from .coneprog import _cached_lp_solver_full
+        solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
+        pack = solve_fn(c, Ga, h, Aa, b)
+        return _conelp_result_from_pack(pack, dims)
 
+    # non-fast paths (custom kktsolver / operators / warm starts): apply
+    # the s-block storage convention eagerly, then build the factor from
+    # the symmetrized data
+    h = cones.sym_from_lower(dims, h)
+    if Ga is not None:
+        Ga = cones.sym_from_lower_cols(dims, Ga)
+    if isinstance(kktsolver, str):
+        factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, None,
+                                     reg=o.kktreg)
+    else:
+        factor = kktsolver
+    gmv = G if G_is_op else (lambda x, trans=False:
+                             (Ga.T @ x if trans else Ga @ x))
+    amv = A if A_is_op else (lambda x, trans=False:
+                             (Aa.T @ x if trans else Aa @ x))
     state = _conelp_core(c, Ga, h, Aa, b, dims, o, factor, gmv, amv,
                          dtype, ps, dst, xops=xops, yops=yops,
                          has_y=(has_y if (custom_x or custom_y) else None))
@@ -406,6 +410,78 @@ def _conelp_core(c, Ga, h, Aa, b, dims, o: Options, factor, gmv, amv,
     carry0 = (x0, y0, s0, z0, tau0, kappa0, jnp.int32(0),
               jnp.int32(RUNNING), m0)
     return jax.lax.while_loop(cond, body, carry0)
+
+
+def _finalize_pack(state, c, h, b, dims):
+    """Jit-traceable result post-processing: computes, branch-free, every
+    array `_conelp_result` needs — the per-status iterate scalings
+    (1/tau for optimal/unknown, certificate scalings on infeasible) and
+    the boundary distances — so the whole solve + finalize is ONE
+    compiled program.  On the remote-compile TPU toolchain each extra
+    eager op costs a separate compilation + round trip (~10 small
+    programs measured before this), a large fraction of cold-solve
+    latency (BENCHNOTES round 3)."""
+    x, y, s, z, tau, kappa, it, status, m = state
+    cx = jnp.dot(c, x)
+    hz_by = cones.sdot(dims, h, z) + (jnp.dot(b, y) if b.shape[0]
+                                      else 0.0)
+    inv_tau = 1.0 / tau
+    scale_x = jnp.where(status == DUAL_INFEASIBLE,
+                        -1.0 / cx, inv_tau)
+    scale_yz = jnp.where(status == PRIMAL_INFEASIBLE,
+                         -1.0 / hz_by, inv_tau)
+    xs, ss = x * scale_x, s * scale_x
+    ys, zs = y * scale_yz, z * scale_yz
+    ts, tz = cones.max_step2(dims, ss, zs)
+    return dict(x=xs, y=ys, s=ss, z=zs, slack_s=-ts, slack_z=-tz,
+                tau=tau, it=it, status=status, m=m)
+
+
+def _conelp_result_from_pack(pack, dims):
+    """Build the reference's result dict from a fetched finalize pack
+    (no device math on this path)."""
+    pack = jax.device_get(pack)
+    status = int(pack["status"])
+    m = pack["m"]
+    res = {"status": _STATUS_STR.get(status, "unknown"),
+           "iterations": int(pack["it"]) - 1}
+    relgap = float(m["relgap"])
+    pinfres = float(m["pinfres"])
+    dinfres = float(m["dinfres"])
+    metrics = {
+        "primal objective": float(m["pcost"]),
+        "dual objective": float(m["dcost"]),
+        "gap": float(m["gap"]),
+        "relative gap": relgap if math.isfinite(relgap) else None,
+        "primal infeasibility": float(m["pres"]),
+        "dual infeasibility": float(m["dres"]),
+        "residual as primal infeasibility certificate":
+            pinfres if math.isfinite(pinfres) else None,
+        "residual as dual infeasibility certificate":
+            dinfres if math.isfinite(dinfres) else None,
+    }
+    if status == PRIMAL_INFEASIBLE:
+        res.update(x=None, s=None, y=pack["y"], z=pack["z"])
+        metrics.update({"primal objective": None, "gap": None,
+                        "relative gap": None, "dual objective": 1.0,
+                        "primal infeasibility": None,
+                        "dual infeasibility": None,
+                        "primal slack": None,
+                        "dual slack": float(pack["slack_z"])})
+    elif status == DUAL_INFEASIBLE:
+        res.update(x=pack["x"], s=pack["s"], y=None, z=None)
+        metrics.update({"dual objective": None, "gap": None,
+                        "relative gap": None, "primal objective": -1.0,
+                        "primal infeasibility": None,
+                        "dual infeasibility": None,
+                        "dual slack": None,
+                        "primal slack": float(pack["slack_s"])})
+    else:
+        res.update(x=pack["x"], s=pack["s"], y=pack["y"], z=pack["z"])
+        metrics["primal slack"] = float(pack["slack_s"])
+        metrics["dual slack"] = float(pack["slack_z"])
+    res.update(metrics)
+    return res
 
 
 def _conelp_result(state, c, h, b, dims, xops: VecOps = DEFAULT_VECOPS,

@@ -271,8 +271,7 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     dims = ConeDims.from_dict(dims)
     if dims.degree == 0:
         raise ValueError("the cone must be nonempty")
-    h = cones.sym_from_lower(
-        dims, _asarray(h, dtype, shape=(dims.size,), name="h"))
+    h = _asarray(h, dtype, shape=(dims.size,), name="h")
     if not custom_y:
         b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
             (0,), dtype)
@@ -283,8 +282,8 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     G_is_op = callable(G)
     A_is_op = A is not None and callable(A)
     P_is_op = callable(P)
-    Ga = None if G_is_op else cones.sym_from_lower_cols(
-        dims, _asarray(G, dtype, shape=(dims.size, n), name="G"))
+    Ga = None if G_is_op else _asarray(G, dtype, shape=(dims.size, n),
+                                       name="G")
     Aa = None
     if not A_is_op:
         Aa = (jnp.zeros((0, n), dtype) if A is None and n is not None
@@ -293,9 +292,30 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
 
     if kktsolver is None:
         kktsolver = "chol" if (dims.q or dims.s) else "chol2"
+    if isinstance(kktsolver, str) and (G_is_op or A_is_op or P_is_op):
+        raise ValueError("operator-form P/G/A require a custom kktsolver")
+
+    # fast path: standard array inputs run solve + slack finalization as
+    # one cached jitted program (s-block symmetrization included), so
+    # repeated same-shape solves skip retracing and cold solves pay a
+    # single remote compilation
+    o = o.resolve_refinement(dims)
+    if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
+            and initvals is None and not (custom_x or custom_y)):
+        solve_fn = _cached_qp_solver_full(dims, kktsolver, o)
+        Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
+        pack = jax.device_get(solve_fn(Pz, q, Ga, h, Aa, b))
+        metrics = _qp_metrics_dict_from_pack(pack)
+        return _result_dict(int(pack["status"]), pack["x"], pack["y"],
+                            pack["s"], pack["z"], dims, metrics,
+                            int(pack["it"]) - 1)
+
+    # non-fast paths: apply the s-block storage convention eagerly, then
+    # build the factor from the symmetrized data
+    h = cones.sym_from_lower(dims, h)
+    if Ga is not None:
+        Ga = cones.sym_from_lower_cols(dims, Ga)
     if isinstance(kktsolver, str):
-        if G_is_op or A_is_op or P_is_op:
-            raise ValueError("operator-form P/G/A require a custom kktsolver")
         factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, Pa,
                                      reg=o.kktreg)
     else:
@@ -306,20 +326,6 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     amv = A if A_is_op else (lambda x, trans=False:
                              (Aa.T @ x if trans else Aa @ x))
     pmv = P if P_is_op else (lambda x: Pa @ x)
-
-    # fast path: standard array inputs reuse a cached jitted solver, so
-    # repeated same-shape solves skip retracing (the reference's repeated
-    # CPU solves analogue)
-    o = o.resolve_refinement(dims)
-    if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
-            and initvals is None and not (custom_x or custom_y)):
-        solve_fn = _cached_qp_solver(dims, kktsolver, o)
-        Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
-        state = solve_fn(Pz, q, Ga, h, Aa, b)
-        (x, y, s, z, it, status, m) = state
-        metrics = _qp_metrics_dict(dims, m, s, z)
-        return _result_dict(int(status), x, y, s, z, dims, metrics,
-                            int(it) - 1)
 
     init = None
     if initvals is not None:
@@ -365,9 +371,64 @@ def _cached_qp_solver(dims, kktsolver, o: Options):
 
 
 @functools.lru_cache(maxsize=64)
+def _cached_qp_solver_full(dims, kktsolver, o: Options):
+    """coneqp solve + slack computation in ONE jitted program (the
+    remote-compile toolchain charges a round trip per program)."""
+    from ..parallel.batch import make_qp_solver
+    solve = make_qp_solver(dims, kktsolver, o)
+
+    def full(P, q, G, h, A, b):
+        h = cones.sym_from_lower(dims, h)
+        G = cones.sym_from_lower_cols(dims, G)
+        x, y, s, z, it, status, m = solve(P, q, G, h, A, b)
+        ts, tz = cones.max_step2(dims, s, z)
+        return dict(x=x, y=y, s=s, z=z, it=it, status=status, m=m,
+                    slack_s=-ts, slack_z=-tz)
+
+    return jax.jit(full)
+
+
+@functools.lru_cache(maxsize=64)
 def _cached_lp_solver(dims, kktsolver, o: Options):
     from ..parallel.batch import make_lp_solver
     return jax.jit(make_lp_solver(dims, kktsolver, o))
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_lp_solver_full(dims, kktsolver, o: Options):
+    """Solve + result finalization fused into ONE jitted program (the
+    remote-compile toolchain charges a round trip per program; see
+    _conelp._finalize_pack)."""
+    from ..parallel.batch import make_lp_solver
+    from ._conelp import _finalize_pack
+    solve = make_lp_solver(dims, kktsolver, o)
+
+    def full(c, G, h, A, b):
+        h = cones.sym_from_lower(dims, h)
+        G = cones.sym_from_lower_cols(dims, G)
+        state = solve(c, G, h, A, b)
+        return _finalize_pack(state, c, h, b, dims)
+
+    return jax.jit(full)
+
+
+def _qp_metrics_dict_from_pack(pack):
+    m = pack["m"]
+    relgap = float(m.relgap) if hasattr(m, "relgap") else float(m[3])
+    vals = [float(v) for v in (m if not hasattr(m, "pcost") else
+                               (m.pcost, m.dcost, m.gap, m.relgap,
+                                m.pres, m.dres))]
+    pcost, dcost, gap, relgap, pres, dres = vals
+    return {
+        "primal objective": pcost,
+        "dual objective": dcost,
+        "gap": gap,
+        "relative gap": None if not math.isfinite(relgap) else relgap,
+        "primal infeasibility": pres,
+        "dual infeasibility": dres,
+        "primal slack": float(pack["slack_s"]),
+        "dual slack": float(pack["slack_z"]),
+    }
 
 
 def _qp_metrics_dict(dims, m: Metrics, s, z):
