@@ -628,14 +628,35 @@ def cp(F, G=None, h=None, dims=None, A=None, b=None, kktsolver=None,
         else:
             f, Df, H = out
         f = jnp.atleast_1d(jnp.asarray(f, dtype))
-        Df = jnp.atleast_2d(jnp.asarray(Df, dtype))
         fe = f.at[0].add(-t)
-        col = jnp.zeros((mnl + 1, 1), dtype).at[0, 0].set(-1.0)
-        Dfe = jnp.concatenate([Df, col], axis=1)
+        if callable(Df):
+            # operator-form Df (requires a custom kktsolver, like the
+            # reference cvxprog.py:1795): extend with the -t column
+            dmv = Df
+
+            def Dfe(u, trans=False):
+                if trans:
+                    ux = dmv(u, trans=True)
+                    return jnp.concatenate([ux, -u[:1]])
+                return dmv(u[:n]).at[0].add(-u[n])
+        else:
+            Dfm = jnp.atleast_2d(jnp.asarray(Df, dtype))
+            col = jnp.zeros((mnl + 1, 1), dtype).at[0, 0].set(-1.0)
+            Dfe = jnp.concatenate([Dfm, col], axis=1)
         if z is None:
             return fe, Dfe
-        He = jnp.zeros((n + 1, n + 1), dtype).at[:n, :n].set(
-            jnp.asarray(H, dtype))
+        if callable(H):
+            # operator-form H (reference's l2ac pattern,
+            # examples/doc/chap9/l2ac.py:30-38): extend with a zero
+            # row/column for the epigraph variable
+            hmv = H
+
+            def He(u):
+                return jnp.concatenate([hmv(u[:n]),
+                                        jnp.zeros((1,), dtype)])
+        else:
+            He = jnp.zeros((n + 1, n + 1), dtype).at[:n, :n].set(
+                jnp.asarray(H, dtype))
         return fe, Dfe, He
 
     if dims is None:
