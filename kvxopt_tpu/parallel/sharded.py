@@ -186,8 +186,20 @@ def _scale_shards(shards: _ConeShards):
     return scaled_local
 
 
+_DIST_FACTORIES: dict = {}
+
+
+def _dist_factory(mesh, axis, npad, nb):
+    key = (id(mesh), tuple(axis) if isinstance(axis, tuple) else axis,
+           npad, nb)
+    if key not in _DIST_FACTORIES:
+        from .dist_chol import dist_chol_factory
+        _DIST_FACTORIES[key] = dist_chol_factory(mesh, axis, npad, nb)
+    return _DIST_FACTORIES[key]
+
+
 def sharded_kkt_solver(mesh: Mesh, axis: str, dims, G, A=None, Pmat=None,
-                       reg: float = 0.0):
+                       reg: float = 0.0, dist_nb: int = 0):
     """First-class tensor-parallel kktsolver for conelp/coneqp.
 
     Returns factor(W) -> solve(bx, by, bz) -> (ux, uy, uz) solving
@@ -198,10 +210,14 @@ def sharded_kkt_solver(mesh: Mesh, axis: str, dims, G, A=None, Pmat=None,
 
     with G row-sharded over `axis` of `mesh` (full l/q/s cone support).
     The scaled normal-equations matrix K = P + Gs'Gs (Gs = W^{-T}G) is
-    formed locally per device and reduced with one psum; the (n x n)
-    Cholesky and the A Schur complement are replicated.  Per-solve
-    communication: one psum of an n-vector plus one all-gather of the
-    cone vector.
+    formed locally per device and reduced with one psum; by default the
+    (n x n) Cholesky and the A Schur complement are replicated.  With
+    `dist_nb` > 0 the Cholesky of K runs as the block-cyclic DISTRIBUTED
+    factorization of parallel/dist_chol.py with block size dist_nb (K
+    padded to a multiple of dist_nb * ndev) — the path for a single KKT
+    matrix larger than one chip's HBM.  Per-solve communication: one
+    psum of an n-vector plus one all-gather of the cone vector (plus, in
+    the distributed mode, one panel-column psum per block step).
     """
     dims = ConeDims.from_dict(dims)
     G = jnp.asarray(G)
@@ -306,11 +322,34 @@ def sharded_kkt_solver(mesh: Mesh, axis: str, dims, G, A=None, Pmat=None,
             K = K + Dfs.T @ Dfs
         if reg:
             K = K + reg * eyen
-        L = jnp.linalg.cholesky(K)
+        if dist_nb:
+            # block-cyclic distributed factorization over this axis
+            from .dist_chol import (dist_chol_factory, cyclic_pack,
+                                    _ndev)
+            ndev = _ndev(mesh, axis)
+            npad = -(-n // (dist_nb * ndev)) * (dist_nb * ndev)
+            Kp = jnp.zeros((npad, npad), K.dtype)
+            Kp = Kp.at[:n, :n].set(K)
+            Kp = Kp.at[jnp.arange(n, npad),
+                       jnp.arange(n, npad)].set(1.0)
+            dfac, dsolve = _dist_factory(mesh, axis, npad, dist_nb)
+            Kst, _ = cyclic_pack(Kp, dist_nb, ndev)
+            Lst = dfac(Kst)
 
-        def chosolve(b):
-            y = solve_triangular(L, b, lower=True)
-            return solve_triangular(L.T, y, lower=False)
+            def chosolve(b):
+                if b.ndim == 1:
+                    bp = jnp.zeros((npad,), b.dtype).at[:n].set(b)
+                    return dsolve(Lst, bp)[:n]
+                cols = [dsolve(Lst, jnp.zeros((npad,), b.dtype)
+                               .at[:n].set(b[:, j]))[:n]
+                        for j in range(b.shape[1])]
+                return jnp.stack(cols, axis=1)
+        else:
+            L = jnp.linalg.cholesky(K)
+
+            def chosolve(b):
+                y = solve_triangular(L, b, lower=True)
+                return solve_triangular(L.T, y, lower=False)
 
         if p:
             KiAt = chosolve(Aa.T)

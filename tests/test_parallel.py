@@ -457,3 +457,29 @@ def test_sharded_kkt_hierarchical_axis():
     r2 = np.asarray(G @ np.asarray(ux) - d2 * np.asarray(uz) - bz)
     assert np.linalg.norm(r1) < 1e-8
     assert np.linalg.norm(r2) < 1e-8
+
+
+def test_sharded_kkt_distributed_factor_end_to_end():
+    """sharded_kkt_solver(dist_nb=...): the KKT Cholesky runs as the
+    block-cyclic distributed factorization while the IPM runs end to end
+    (the single-KKT-beyond-one-chip program structure, ROADMAP r3 #8)."""
+    from jax.sharding import Mesh
+    from kvxopt_tpu.parallel import sharded_kkt_solver
+    from kvxopt_tpu.solvers import coneqp
+
+    rng = np.random.default_rng(13)
+    n, m = 24, 64
+    G = rng.standard_normal((m, n))
+    Pm = np.eye(n) * 2.0
+    x0 = rng.standard_normal(n)
+    h = G @ x0 + rng.uniform(0.5, 1.5, m)
+    q = rng.standard_normal(n)
+    dims = ConeDims(l=m)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("kkt",))
+    factor = sharded_kkt_solver(mesh, "kkt", dims, jnp.asarray(G),
+                                Pmat=jnp.asarray(Pm), dist_nb=2)
+    sol = coneqp(Pm, q, G, h, dims, kktsolver=factor)
+    assert sol["status"] == "optimal"
+    ref = coneqp(Pm, q, G, h, dims)
+    np.testing.assert_allclose(np.asarray(sol["x"]),
+                               np.asarray(ref["x"]), atol=1e-6)
