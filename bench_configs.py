@@ -373,13 +373,21 @@ def cfg_activsg():
 
 def run_all():
     """Run the five configs; each isolated so one failure doesn't hide
-    the others."""
+    the others, with a wall-clock budget (cold compiles on the relay
+    toolchain can take minutes per program; the persistent jax cache
+    makes repeat runs fast)."""
+    budget = float(os.environ.get("KVX_BENCH_BUDGET", 3600))
+    t0 = time.perf_counter()
     configs = {}
     for name, fn in (("boeing2_lp", cfg_boeing2),
                      ("socp_batch", cfg_socp_batch),
                      ("bcsstk13_kkt", cfg_bcsstk),
                      ("userguide_sdp", cfg_sdp),
                      ("activsg_scenarios", cfg_activsg)):
+        if time.perf_counter() - t0 > budget:
+            configs[name] = {"skipped": "bench budget exhausted "
+                                        f"({budget:.0f}s)"}
+            continue
         try:
             configs[name] = fn()
         except Exception as e:  # pragma: no cover - bench robustness
