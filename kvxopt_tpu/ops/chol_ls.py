@@ -76,30 +76,43 @@ def _panel_factor_inverse(dref, uref, yref, aref, B):
     for seg in range(BS // SEG):
         lo, hi = seg * SEG, (seg + 1) * SEG
 
-        def step(j, _):
-            urow = dref[:, pl.ds(j, 1), :]               # (B,1,BS)
-            pivot = jnp.sum(jnp.where(lanes == j, urow, zero), axis=2,
-                            keepdims=True)               # (B,1,1)
-            rs = jax.lax.rsqrt(pivot)
-            urow_s = jnp.where(lanes >= j, urow * rs, zero)
-            uref[:, pl.ds(j, 1), :] = urow_s
-            # row j of the inverse: pre-segment contributions arrived
-            # via the rank-32 update below; in-segment ones via the
-            # strip FMA of earlier steps
-            accrow = aref[:, pl.ds(j, 1), :]             # (B,1,BS)
-            ej = jnp.where(lanes == j, one, zero)
-            yrow = (ej - accrow) * rs
-            yref[:, pl.ds(j, 1), :] = yrow
-            # u_j in sublane orientation; rows < j are exactly zero
-            # (masked above), so strip rows already processed are
-            # untouched by both FMAs
-            ucol_s = jnp.swapaxes(urow_s, 1, 2)          # (B,BS,1)
-            ucseg = ucol_s[:, lo:hi, :]                  # (B,SEG,1)
-            aref[:, lo:hi, :] = aref[:, lo:hi, :] + ucseg * yrow
-            dref[:, lo:hi, :] = dref[:, lo:hi, :] - ucseg * urow_s
+        def step2(i, _):
+            # rank-2 pivot step: factor the 2x2 pivot block analytically
+            # and emit TWO rows of U and Y per serial iteration — the
+            # per-step fixed cost (row slices, masks, rsqrt dispatch)
+            # dominates the serial chain, so halving the step count is
+            # the main lever (ROADMAP r3 #1; strip-FMA volume unchanged)
+            j = lo + 2 * i
+            rows = dref[:, pl.ds(j, 2), :]               # (B,2,BS)
+            r0 = rows[:, 0:1, :]
+            r1 = rows[:, 1:2, :]
+            d00 = jnp.sum(jnp.where(lanes == j, r0, zero), axis=2,
+                          keepdims=True)                 # (B,1,1)
+            d01 = jnp.sum(jnp.where(lanes == j + 1, r0, zero), axis=2,
+                          keepdims=True)
+            d11 = jnp.sum(jnp.where(lanes == j + 1, r1, zero), axis=2,
+                          keepdims=True)
+            rs0 = jax.lax.rsqrt(d00)
+            u0 = jnp.where(lanes >= j, r0 * rs0, zero)
+            l21 = d01 * rs0
+            rs1 = jax.lax.rsqrt(d11 - l21 * l21)
+            u1 = jnp.where(lanes >= j + 1, (r1 - l21 * u0) * rs1, zero)
+            uref[:, pl.ds(j, 2), :] = jnp.concatenate([u0, u1], axis=1)
+            acc = aref[:, pl.ds(j, 2), :]                # (B,2,BS)
+            e0 = jnp.where(lanes == j, one, zero)
+            e1 = jnp.where(lanes == j + 1, one, zero)
+            y0 = (e0 - acc[:, 0:1, :]) * rs0
+            y1 = (e1 - acc[:, 1:2, :] - l21 * y0) * rs1
+            yref[:, pl.ds(j, 2), :] = jnp.concatenate([y0, y1], axis=1)
+            # rank-2 strip updates; rows < j of u0/u1 are exactly zero
+            # (masked), so already-processed strip rows are untouched
+            uc0 = jnp.swapaxes(u0, 1, 2)[:, lo:hi, :]    # (B,SEG,1)
+            uc1 = jnp.swapaxes(u1, 1, 2)[:, lo:hi, :]
+            aref[:, lo:hi, :] = aref[:, lo:hi, :] + uc0 * y0 + uc1 * y1
+            dref[:, lo:hi, :] = dref[:, lo:hi, :] - uc0 * u0 - uc1 * u1
             return 0
 
-        jax.lax.fori_loop(jnp.int32(lo), jnp.int32(hi), step, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(SEG // 2), step2, 0)
 
         if hi < BS:
             # rank-32 propagation to rows [hi, BS): one batched MXU

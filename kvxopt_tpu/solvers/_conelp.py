@@ -125,9 +125,15 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)
             and ps is None and dst is None and not (custom_x or custom_y)):
         from .coneprog import _cached_lp_solver_full
-        solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
-        pack = solve_fn(c, Ga, h, Aa, b)
-        return _conelp_result_from_pack(pack, dims)
+        try:
+            solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
+            pack = solve_fn(c, Ga, h, Aa, b)
+            return _conelp_result_from_pack(pack, dims)
+        except Exception:
+            # remote-compile toolchains occasionally reject the large
+            # fused program (e.g. compile-helper SIGABRT); fall through
+            # to the split solve + eager finalization path
+            pass
 
     # non-fast paths (custom kktsolver / operators / warm starts): apply
     # the s-block storage convention eagerly, then build the factor from

@@ -302,13 +302,18 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     o = o.resolve_refinement(dims)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
             and initvals is None and not (custom_x or custom_y)):
-        solve_fn = _cached_qp_solver_full(dims, kktsolver, o)
-        Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
-        pack = jax.device_get(solve_fn(Pz, q, Ga, h, Aa, b))
-        metrics = _qp_metrics_dict_from_pack(pack)
-        return _result_dict(int(pack["status"]), pack["x"], pack["y"],
-                            pack["s"], pack["z"], dims, metrics,
-                            int(pack["it"]) - 1)
+        try:
+            solve_fn = _cached_qp_solver_full(dims, kktsolver, o)
+            Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
+            pack = jax.device_get(solve_fn(Pz, q, Ga, h, Aa, b))
+            metrics = _qp_metrics_dict_from_pack(pack)
+            return _result_dict(int(pack["status"]), pack["x"],
+                                pack["y"], pack["s"], pack["z"], dims,
+                                metrics, int(pack["it"]) - 1)
+        except Exception:
+            # fall through to the split path if the fused program is
+            # rejected by the compile toolchain
+            pass
 
     # non-fast paths: apply the s-block storage convention eagerly, then
     # build the factor from the symmetrized data
