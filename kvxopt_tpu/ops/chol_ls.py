@@ -49,6 +49,12 @@ BS = 128
 
 
 SEG = 16
+PR = 2     # pivots factored per serial panel step (rank-PR updates).
+           # Measured on chip (B=16 n=1024, factor + 2 solves, slope
+           # method): PR=1 1.90 ms (3.04 TFLOP/s), PR=2 1.39 ms
+           # (4.17 TFLOP/s), PR=4 1.73 ms (3.36 TFLOP/s) — the rank-4
+           # in-step corrections and k=4 dot_generals cost more than the
+           # extra step-count halving saves.
 
 
 def _panel_factor_inverse(dref, uref, yref, aref, B):
@@ -76,43 +82,52 @@ def _panel_factor_inverse(dref, uref, yref, aref, B):
     for seg in range(BS // SEG):
         lo, hi = seg * SEG, (seg + 1) * SEG
 
-        def step2(i, _):
-            # rank-2 pivot step: factor the 2x2 pivot block analytically
-            # and emit TWO rows of U and Y per serial iteration — the
-            # per-step fixed cost (row slices, masks, rsqrt dispatch)
-            # dominates the serial chain, so halving the step count is
-            # the main lever (ROADMAP r3 #1; strip-FMA volume unchanged)
-            j = lo + 2 * i
-            rows = dref[:, pl.ds(j, 2), :]               # (B,2,BS)
-            r0 = rows[:, 0:1, :]
-            r1 = rows[:, 1:2, :]
-            d00 = jnp.sum(jnp.where(lanes == j, r0, zero), axis=2,
-                          keepdims=True)                 # (B,1,1)
-            d01 = jnp.sum(jnp.where(lanes == j + 1, r0, zero), axis=2,
-                          keepdims=True)
-            d11 = jnp.sum(jnp.where(lanes == j + 1, r1, zero), axis=2,
-                          keepdims=True)
-            rs0 = jax.lax.rsqrt(d00)
-            u0 = jnp.where(lanes >= j, r0 * rs0, zero)
-            l21 = d01 * rs0
-            rs1 = jax.lax.rsqrt(d11 - l21 * l21)
-            u1 = jnp.where(lanes >= j + 1, (r1 - l21 * u0) * rs1, zero)
-            uref[:, pl.ds(j, 2), :] = jnp.concatenate([u0, u1], axis=1)
-            acc = aref[:, pl.ds(j, 2), :]                # (B,2,BS)
-            e0 = jnp.where(lanes == j, one, zero)
-            e1 = jnp.where(lanes == j + 1, one, zero)
-            y0 = (e0 - acc[:, 0:1, :]) * rs0
-            y1 = (e1 - acc[:, 1:2, :] - l21 * y0) * rs1
-            yref[:, pl.ds(j, 2), :] = jnp.concatenate([y0, y1], axis=1)
-            # rank-2 strip updates; rows < j of u0/u1 are exactly zero
+        def stepR(i, _):
+            # rank-R pivot step: factor the R x R pivot block by an
+            # unrolled micro-Cholesky on (B,1,BS) row vectors and emit R
+            # rows of U and Y per serial iteration — the per-step fixed
+            # cost (row slices, masks, rsqrt dispatch, loop carry)
+            # dominates the serial chain, so cutting the step count
+            # R-fold is the main lever (ROADMAP r3 #1; strip update
+            # volume unchanged, now a rank-R dot_general).
+            j = lo + PR * i
+            rows = dref[:, pl.ds(j, PR), :]              # (B,PR,BS)
+            acc = aref[:, pl.ds(j, PR), :]
+            us, ys = [], []
+            for k in range(PR):
+                rk = rows[:, k:k + 1, :]                 # (B,1,BS)
+                yk = jnp.where(lanes == j + k, one, zero) - \
+                    acc[:, k:k + 1, :]
+                for m_ in range(k):
+                    # L[j+k, j+m] = lane (j+k) of u_m — corrects for the
+                    # in-step pivots not yet reflected in dref/aref
+                    coef = jnp.sum(jnp.where(lanes == j + k, us[m_],
+                                             zero), axis=2,
+                                   keepdims=True)        # (B,1,1)
+                    rk = rk - coef * us[m_]
+                    yk = yk - coef * ys[m_]
+                piv = jnp.sum(jnp.where(lanes == j + k, rk, zero),
+                              axis=2, keepdims=True)
+                rs = jax.lax.rsqrt(piv)
+                us.append(jnp.where(lanes >= j + k, rk * rs, zero))
+                ys.append(yk * rs)
+            U = jnp.concatenate(us, axis=1)              # (B,PR,BS)
+            Y = jnp.concatenate(ys, axis=1)
+            uref[:, pl.ds(j, PR), :] = U
+            yref[:, pl.ds(j, PR), :] = Y
+            # rank-PR strip updates; rows < j of U are exactly zero
             # (masked), so already-processed strip rows are untouched
-            uc0 = jnp.swapaxes(u0, 1, 2)[:, lo:hi, :]    # (B,SEG,1)
-            uc1 = jnp.swapaxes(u1, 1, 2)[:, lo:hi, :]
-            aref[:, lo:hi, :] = aref[:, lo:hi, :] + uc0 * y0 + uc1 * y1
-            dref[:, lo:hi, :] = dref[:, lo:hi, :] - uc0 * u0 - uc1 * u1
+            Uc = jnp.swapaxes(U, 1, 2)[:, lo:hi, :]      # (B,SEG,PR)
+            dims2 = (((2,), (1,)), ((0,), (0,)))
+            aref[:, lo:hi, :] = aref[:, lo:hi, :] + jax.lax.dot_general(
+                Uc, Y, dimension_numbers=dims2,
+                preferred_element_type=jnp.float32)
+            dref[:, lo:hi, :] = dref[:, lo:hi, :] - jax.lax.dot_general(
+                Uc, U, dimension_numbers=dims2,
+                preferred_element_type=jnp.float32)
             return 0
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(SEG // 2), step2, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(SEG // PR), stepR, 0)
 
         if hi < BS:
             # rank-32 propagation to rows [hi, BS): one batched MXU
