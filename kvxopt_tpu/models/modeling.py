@@ -220,7 +220,7 @@ class pwl:
 
     def __init__(self, aff, blocks):
         self.aff = aff
-        self.blocks = [[p if isinstance(p, pwl)
+        self.blocks = [[p if isinstance(p, (pwl, pwl_scalar))
                         else affine.from_any(p, len(aff)) for p in blk]
                        for blk in blocks]
 
@@ -232,8 +232,8 @@ class pwl:
         single block; pieces may themselves be PWL)."""
         if len(self.blocks) != 1:
             raise TypeError("cannot flatten a multi-block PWL function")
-        return [p + self.aff if isinstance(p, pwl) else self.aff + p
-                for p in self.blocks[0]]
+        return [p + self.aff if isinstance(p, (pwl, pwl_scalar))
+                else self.aff + p for p in self.blocks[0]]
 
     def __add__(self, o):
         if isinstance(o, pwl):
@@ -397,6 +397,8 @@ def max(*args):
     maximum over its components."""
     if len(args) == 1:
         f = args[0]
+        if isinstance(f, pwl_scalar):
+            return f          # max of a scalar PWL is itself
         if isinstance(f, (variable, affine)):
             a = affine.from_any(f)
             return pwl_scalar(affine({}, np.zeros(1)),
@@ -409,13 +411,20 @@ def max(*args):
             return pwl_scalar(affine({}, np.zeros(1)),
                               [("max", [f], len(f))])
         return _pymax(f)
-    if not any(isinstance(a, (variable, affine, pwl)) for a in args):
+    if not any(isinstance(a, (variable, affine, pwl, pwl_scalar))
+               for a in args):
         return _pymax(*args)
     m = _pymax(len(a) if isinstance(a, (variable, affine, pwl)) else 1
                for a in args)
     pieces = []
     for a in args:
-        if isinstance(a, pwl):
+        if isinstance(a, pwl_scalar):
+            # nested scalar PWL (e.g. max(max(abs(x)), 0.5), reference
+            # modeling.py _minmax on f_i with PWL arguments): kept as a
+            # piece, lowered with its own epigraph variables at solve
+            # time (scalar value broadcasts across the m rows)
+            pieces.append(a)
+        elif isinstance(a, pwl):
             if len(a.blocks) == 1:
                 for p in a._flat_pieces():
                     pieces.append(p if isinstance(p, pwl)
@@ -608,6 +617,16 @@ class op:
                     aux.append(tb)
                     bspecs.append((tb, [mk_piece_spec(q) for q in blk]))
                 return ("pwl", p, u, bspecs)
+            if isinstance(p, pwl_scalar):
+                # nested scalar PWL piece: one epigraph variable per term
+                tspecs = []
+                for kind, pieces_, mterm in p.terms:
+                    t = variable(mterm if kind == "sum" else 1,
+                                 name=f"_aux{len(aux)}")
+                    aux.append(t)
+                    tspecs.append((kind, [mk_piece_spec(q) for q in
+                                          pieces_], mterm, t))
+                return ("pwls", p, tspecs)
             return ("aff", p)
 
         obj = self.objective
@@ -677,6 +696,16 @@ class op:
             affine upper-bound expression of length m."""
             if spec[0] == "aff":
                 return emit(spec[1]._broadcast(m))
+            if spec[0] == "pwls":
+                # nested scalar PWL: bound each term with its epigraph
+                # variable, return aff + sum(terms) broadcast to m rows
+                _, p, tspecs = spec
+                for kind, subspecs, mterm, t in tspecs:
+                    add_term_rows(kind, subspecs, mterm, t)
+                row, cst = emit(p.aff._broadcast(m))
+                for kind, subspecs, mterm, t in tspecs:
+                    row[:, var_index[t]] += 1.0
+                return row, cst
             _, p, u, bspecs = spec
             mp = len(p)
             acc_row, acc_cst = emit(p.aff)

@@ -238,3 +238,22 @@ def test_mps_roundtrip_named(tmp_path):
     assert np.allclose(v1, v2, atol=1e-5)
     names = {c.name for c in lp2.constraints()}
     assert {"bal", "ineq_0", "ineq_3"} <= names
+
+
+def test_nested_scalar_pwl_in_max():
+    """max() accepts scalar-PWL arguments (reference modeling.py _minmax
+    with PWL f_i): max(max(abs(x)), const) as an objective, and a nested
+    scalar PWL piece inside a constraint."""
+    x = variable(3)
+    p = op(max(max(abs(x)), 0.5), [x >= -3, x <= 3, sum(x) == 1])
+    p.solve()
+    assert p.status == "optimal"
+    assert abs(float(np.asarray(p.objective.value()).reshape(-1)[0])
+               - 0.5) < 1e-6
+
+    y = variable(2)
+    q = op(sum(y), [max(sum(abs(y)), 1.5) <= 2.0, y >= -4])
+    q.solve()
+    assert q.status == "optimal"
+    v = float(np.asarray(q.objective.value()).reshape(-1)[0])
+    assert abs(v - (-2.0)) < 1e-5  # min sum(y) s.t. sum|y| <= 2
