@@ -74,7 +74,33 @@ def pack(x, dims, mnl=0):
     return _c.pack(_dims(dims).with_extra_l(mnl), jnp.asarray(x))
 
 
-pack2 = pack
+def pack2(x, dims, mnl=0):
+    """Functional equivalent of the reference's in-place pack2
+    (misc_solvers.c:468): per column of x, the 's' components are
+    repacked into packed-'L' storage (lower triangle column by column,
+    off-diagonals scaled by sqrt 2) WITHIN a buffer of the same shape;
+    entries past the packed length keep their previous values.  Accepts
+    1-D cone vectors or 2-D matrices whose columns are cone vectors."""
+    import math
+    d = _dims(dims).with_extra_l(mnl)
+    x = jnp.asarray(x)
+    one_d = x.ndim == 1
+    X = x[:, None] if one_d else x
+    nlq = d.l + sum(d.q)
+    sqrt2 = math.sqrt(2.0)
+    out = X
+    iu = ip = nlq
+    for m in d.s:
+        for k in range(m):
+            ln = m - k
+            seg = X[iu + k * (m + 1): iu + k * (m + 1) + ln, :]
+            w = jnp.ones((ln, 1), X.dtype)
+            if ln > 1:
+                w = w.at[1:, :].set(sqrt2)
+            out = out.at[ip:ip + ln, :].set(seg * w)
+            ip += ln
+        iu += m * m
+    return out[:, 0] if one_d else out
 
 
 def unpack(x, dims, mnl=0):

@@ -104,3 +104,32 @@ def test_type_attributes():
     for a in ("size", "typecode", "V", "I", "J", "CCS", "T", "H",
               "ipset", "ipadd"):
         assert hasattr(S, a)
+
+
+def test_pack2_matches_reference():
+    """pack2 semantics vs the compiled reference misc_solvers.pack2
+    (misc_solvers.c:468): same-shape buffer, 's' components repacked in
+    place (lower triangle, off-diagonals * sqrt2), tail untouched."""
+    import sys
+    import numpy as np
+    sys.path.insert(0, ".")
+    from tools.build_reference import build
+    prefix = build()
+    if prefix is None:
+        import pytest
+        pytest.skip("reference oracle unavailable")
+    if prefix not in sys.path:
+        sys.path.insert(0, prefix)
+    from kvxopt import misc_solvers as rms, matrix as rmatrix
+    from kvxopt_tpu import misc as oms
+
+    rng = np.random.default_rng(7)
+    dims = {"l": 2, "q": [3], "s": [3, 2]}
+    mnl = 1
+    N = mnl + 2 + 3 + 9 + 4
+    X = rng.standard_normal((N, 2))
+    xm = rmatrix(X.copy())
+    rms.pack2(xm, dims, mnl)
+    ours = np.asarray(oms.pack2(X.copy(), dims, mnl=mnl))
+    np.testing.assert_allclose(ours, np.asarray(xm).reshape(N, 2),
+                               atol=1e-12)
