@@ -71,7 +71,26 @@ def scale2(lmbda, x, dims, mnl=0, inverse="N"):
 
 
 def pack(x, dims, mnl=0):
-    return _c.pack(_dims(dims).with_extra_l(mnl), jnp.asarray(x))
+    """Packed storage with the reference's exact element order
+    (misc_solvers.c:404): s blocks stored as the lower triangle column
+    by column, off-diagonals scaled by sqrt 2 (dot-product
+    preserving)."""
+    import math
+    d = _dims(dims).with_extra_l(mnl)
+    x = jnp.asarray(x)
+    nlq = d.l + sum(d.q)
+    parts = [x[:nlq]]
+    sqrt2 = math.sqrt(2.0)
+    iu = nlq
+    for m in d.s:
+        X = x[iu:iu + m * m].reshape(m, m)
+        cols, rows = jnp.triu_indices(m)      # (c<=r) pairs in col-major
+        w = jnp.where(rows == cols, 1.0, sqrt2).astype(x.dtype)
+        # read the buffer's column-major 'L' entries (index c*m + r,
+        # misc_solvers.c:404): X[c, r] of the row-major reshape
+        parts.append(X[cols, rows] * w)
+        iu += m * m
+    return jnp.concatenate(parts)
 
 
 def pack2(x, dims, mnl=0):
@@ -104,7 +123,33 @@ def pack2(x, dims, mnl=0):
 
 
 def unpack(x, dims, mnl=0):
-    return _c.unpack(_dims(dims).with_extra_l(mnl), jnp.asarray(x))
+    """Inverse of pack (reference misc_solvers.c:544): packed-'L'
+    storage back to full symmetric storage, same element order."""
+    import math
+    d = _dims(dims).with_extra_l(mnl)
+    x = jnp.asarray(x)
+    nlq = d.l + sum(d.q)
+    out = jnp.zeros((d.size,), dtype=x.dtype)
+    out = out.at[:nlq].set(x[:nlq])
+    isqrt2 = 1.0 / math.sqrt(2.0)
+    ip, iu = nlq, nlq
+    for m in d.s:
+        npk = m * (m + 1) // 2
+        blk = x[ip:ip + npk]
+        cols, rows = jnp.triu_indices(m)      # col-major (row>=col) pairs
+        w = jnp.where(rows == cols, 1.0, isqrt2).astype(x.dtype)
+        # reference fills the LOWER triangle only, in the buffer's
+        # column-major layout (misc_solvers.c:544 dcopy into column k
+        # from the diagonal down: buffer index c*m + r, r >= c); strict
+        # upper entries are untouched, i.e. zero in this functional
+        # form.  Writing X[c, r] then flattening row-major lands each
+        # value at exactly c*m + r.
+        X = jnp.zeros((m, m), dtype=x.dtype)
+        X = X.at[cols, rows].set(blk * w)
+        out = out.at[iu:iu + m * m].set(X.reshape(-1))
+        ip += npk
+        iu += m * m
+    return out
 
 
 def symm(x, dims, mnl=0):

@@ -133,3 +133,42 @@ def test_pack2_matches_reference():
     ours = np.asarray(oms.pack2(X.copy(), dims, mnl=mnl))
     np.testing.assert_allclose(ours, np.asarray(xm).reshape(N, 2),
                                atol=1e-12)
+
+
+def test_pack_unpack_match_reference():
+    """misc.pack / misc.unpack element order and triangle semantics vs
+    the compiled reference (misc_solvers.c:404,544): column-major 'L'
+    packing, sqrt2 off-diagonal scaling, unpack fills the lower
+    triangle only."""
+    import sys
+    import numpy as np
+    sys.path.insert(0, ".")
+    from tools.build_reference import build
+    prefix = build()
+    if prefix is None:
+        import pytest
+        pytest.skip("reference oracle unavailable")
+    if prefix not in sys.path:
+        sys.path.insert(0, prefix)
+    from kvxopt import misc_solvers as rms, matrix as rmatrix
+    from kvxopt_tpu import misc as oms
+
+    rng = np.random.default_rng(11)
+    dims = {"l": 2, "q": [3], "s": [3, 2]}
+    mnl = 1
+    N = mnl + 2 + 3 + 9 + 4
+    npk = mnl + 2 + 3 + 6 + 3
+    x = rng.standard_normal(N)
+    for ofs, m in ((6, 3), (15, 2)):   # symmetrize s blocks
+        S = x[ofs:ofs + m * m].reshape(m, m)
+        x[ofs:ofs + m * m] = (0.5 * (S + S.T)).ravel()
+
+    xm, ym = rmatrix(x.copy()), rmatrix(np.zeros(npk))
+    rms.pack(xm, ym, dims, mnl)
+    ours_p = np.asarray(oms.pack(x.copy(), dims, mnl=mnl))
+    np.testing.assert_allclose(ours_p, np.asarray(ym).ravel(), atol=1e-12)
+
+    um = rmatrix(np.zeros(N))
+    rms.unpack(ym, um, dims, mnl)
+    ours_u = np.asarray(oms.unpack(ours_p, dims, mnl=mnl))
+    np.testing.assert_allclose(ours_u, np.asarray(um).ravel(), atol=1e-12)
