@@ -124,15 +124,27 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     # retracing on repeated same-shape solves)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)
             and ps is None and dst is None and not (custom_x or custom_y)):
-        from .coneprog import _cached_lp_solver_full
+        from .coneprog import (_cached_lp_solver_full,
+                               _cached_lp_solver_split, _FUSED_BAD)
+        key = (dims, kktsolver, o)
+        if key not in _FUSED_BAD:
+            try:
+                solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
+                pack = solve_fn(c, Ga, h, Aa, b)
+                return _conelp_result_from_pack(pack, dims)
+            except Exception:
+                # remote-compile toolchains occasionally reject the
+                # large fused program (e.g. compile-helper SIGABRT);
+                # remember the key so later calls skip straight to the
+                # cached split programs instead of re-failing
+                _FUSED_BAD.add(key)
         try:
-            solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
-            pack = solve_fn(c, Ga, h, Aa, b)
+            part1, part2 = _cached_lp_solver_split(dims, kktsolver, o)
+            state, hs = part1(c, Ga, h, Aa, b)
+            pack = part2(state, c, hs, b)
             return _conelp_result_from_pack(pack, dims)
         except Exception:
-            # remote-compile toolchains occasionally reject the large
-            # fused program (e.g. compile-helper SIGABRT); fall through
-            # to the split solve + eager finalization path
+            # last resort: the uncached eager path below
             pass
 
     # non-fast paths (custom kktsolver / operators / warm starts): apply

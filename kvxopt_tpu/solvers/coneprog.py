@@ -302,17 +302,33 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     o = o.resolve_refinement(dims)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
             and initvals is None and not (custom_x or custom_y)):
+        key = (dims, kktsolver, o)
+        Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
+        if key not in _FUSED_BAD:
+            try:
+                solve_fn = _cached_qp_solver_full(dims, kktsolver, o)
+                pack = jax.device_get(solve_fn(Pz, q, Ga, h, Aa, b))
+                metrics = _qp_metrics_dict_from_pack(pack)
+                return _result_dict(int(pack["status"]), pack["x"],
+                                    pack["y"], pack["s"], pack["z"], dims,
+                                    metrics, int(pack["it"]) - 1)
+            except Exception:
+                # remember the failing fused program; later calls go
+                # straight to the cached split programs
+                _FUSED_BAD.add(key)
         try:
-            solve_fn = _cached_qp_solver_full(dims, kktsolver, o)
-            Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
-            pack = jax.device_get(solve_fn(Pz, q, Ga, h, Aa, b))
+            part1, part2 = _cached_qp_solver_split(dims, kktsolver, o)
+            x, y, s, z, it, status, m = part1(Pz, q, Ga, h, Aa, b)
+            slack_s, slack_z = part2(s, z)
+            pack = dict(x=x, y=y, s=s, z=z, it=it, status=status, m=m,
+                        slack_s=slack_s, slack_z=slack_z)
+            pack = jax.device_get(pack)
             metrics = _qp_metrics_dict_from_pack(pack)
             return _result_dict(int(pack["status"]), pack["x"],
                                 pack["y"], pack["s"], pack["z"], dims,
                                 metrics, int(pack["it"]) - 1)
         except Exception:
-            # fall through to the split path if the fused program is
-            # rejected by the compile toolchain
+            # last resort: the uncached eager path below
             pass
 
     # non-fast paths: apply the s-block storage convention eagerly, then
@@ -368,6 +384,13 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
 
 import functools
 
+# (dims, kktsolver, Options) keys whose FUSED solve+finalize program was
+# rejected by the compile toolchain (e.g. remote compile-helper SIGABRT
+# on the largest conelp programs).  Once a key lands here the solvers go
+# straight to the cached SPLIT programs instead of re-attempting — and
+# re-paying — the failing fused compile on every call.
+_FUSED_BAD: set = set()
+
 
 @functools.lru_cache(maxsize=64)
 def _cached_qp_solver(dims, kktsolver, o: Options):
@@ -394,6 +417,27 @@ def _cached_qp_solver_full(dims, kktsolver, o: Options):
 
 
 @functools.lru_cache(maxsize=64)
+def _cached_qp_solver_split(dims, kktsolver, o: Options):
+    """Split fallback for _cached_qp_solver_full: symmetrize + solve as
+    one cached jitted program, slack computation as a second — used when
+    the fused program is rejected by the compile toolchain, so repeated
+    solves still skip retracing."""
+    from ..parallel.batch import make_qp_solver
+    solve = make_qp_solver(dims, kktsolver, o)
+
+    def part1(P, q, G, h, A, b):
+        h = cones.sym_from_lower(dims, h)
+        G = cones.sym_from_lower_cols(dims, G)
+        return solve(P, q, G, h, A, b)
+
+    def part2(s, z):
+        ts, tz = cones.max_step2(dims, s, z)
+        return -ts, -tz
+
+    return jax.jit(part1), jax.jit(part2)
+
+
+@functools.lru_cache(maxsize=64)
 def _cached_lp_solver(dims, kktsolver, o: Options):
     from ..parallel.batch import make_lp_solver
     return jax.jit(make_lp_solver(dims, kktsolver, o))
@@ -415,6 +459,28 @@ def _cached_lp_solver_full(dims, kktsolver, o: Options):
         return _finalize_pack(state, c, h, b, dims)
 
     return jax.jit(full)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_lp_solver_split(dims, kktsolver, o: Options):
+    """Split fallback for _cached_lp_solver_full: symmetrize + solve as
+    one cached jitted program, result finalization as a second (the
+    round-2 structure) — used when the fused program is rejected by the
+    compile toolchain, so repeated solves still skip retracing."""
+    from ..parallel.batch import make_lp_solver
+    from ._conelp import _finalize_pack
+
+    solve = make_lp_solver(dims, kktsolver, o)
+
+    def part1(c, G, h, A, b):
+        h = cones.sym_from_lower(dims, h)
+        G = cones.sym_from_lower_cols(dims, G)
+        return solve(c, G, h, A, b), h
+
+    def part2(state, c, h, b):
+        return _finalize_pack(state, c, h, b, dims)
+
+    return jax.jit(part1), jax.jit(part2)
 
 
 def _qp_metrics_dict_from_pack(pack):
