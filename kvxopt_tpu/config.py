@@ -47,6 +47,13 @@ import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 default_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 compute_dtype = jnp.float32
 
+# Mixed-precision refinement matvec strategy: when True, the f64
+# operator products inside the chol2_mixed refinement loop run as
+# Ozaki-style exact-split f32 matmuls on the MXU (ops/ozaki.py) instead
+# of emulated-f64 matmuls.  Off by default until validated per backend;
+# set KVXOPT_TPU_OZAKI=1 (or config.ozaki_refine = True) to enable.
+ozaki_refine = os.environ.get("KVXOPT_TPU_OZAKI", "0") == "1"
+
 
 def set_default_dtype(dtype):
     global default_dtype

@@ -263,7 +263,12 @@ def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
     cdt = cdt or config.compute_dtype
     if reg:
         K = K + reg * jnp.eye(K.shape[0], dtype=K.dtype)
-    return _mixed_core(lambda x: K @ x, K.astype(cdt), K.dtype,
+    if config.ozaki_refine:
+        from .ops.ozaki import OzakiOperator
+        kmul = OzakiOperator(K).mv
+    else:
+        kmul = lambda x: K @ x
+    return _mixed_core(kmul, K.astype(cdt), K.dtype,
                        lambda: K, max_refine, rtol_factor, fallback)
 
 
@@ -286,15 +291,35 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
     if reg:
         Kx32 = Kx32 + jnp.asarray(reg, cdt) * jnp.eye(n, dtype=cdt)
 
-    def kmul(x):
-        out = Gs.T @ (Gs @ x)
-        if P is not None:
-            out = out + P @ x
-        if H is not None:
-            out = out + H @ x
-        if reg:
-            out = out + reg * x
-        return out
+    if config.ozaki_refine:
+        # exact-split f64 products on the MXU (ops/ozaki.py): the
+        # refinement matvec is the wall of the mixed-precision path on
+        # TPU (BENCHNOTES round 3) — emulated-f64 matmuls never touch
+        # the MXU, the split form does
+        from .ops.ozaki import OzakiOperator
+        gop = OzakiOperator(Gs)
+        pop = OzakiOperator(P) if P is not None else None
+        hop = OzakiOperator(H) if H is not None else None
+
+        def kmul(x):
+            out = gop.normal_mv(x)
+            if pop is not None:
+                out = out + pop.mv(x)
+            if hop is not None:
+                out = out + hop.mv(x)
+            if reg:
+                out = out + reg * x
+            return out
+    else:
+        def kmul(x):
+            out = Gs.T @ (Gs @ x)
+            if P is not None:
+                out = out + P @ x
+            if H is not None:
+                out = out + H @ x
+            if reg:
+                out = out + reg * x
+            return out
 
     def k64_build():
         K = _keff(P, H, n, G.dtype) + Gs.T @ Gs

@@ -80,3 +80,25 @@ def test_split_reconstruction_exact():
     S, scale = ozaki.split_fp(jnp.asarray(A), nslices=7, nbits=8)
     rec = np.asarray(jnp.sum(S.astype(jnp.float64), axis=0) * scale)
     assert np.max(np.abs(rec - A)) < np.max(np.abs(A)) * 2.0 ** -53
+
+
+def test_mixed_spd_solver_with_ozaki_flag():
+    """mixed_spd_solver reaches f64 quality with the exact-split
+    refinement matvec enabled (config.ozaki_refine)."""
+    from kvxopt_tpu import config
+    from kvxopt_tpu.kkt import mixed_spd_solver
+
+    rng = np.random.default_rng(11)
+    n = 128
+    M = rng.standard_normal((n, n))
+    K = M @ M.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    old = config.ozaki_refine
+    try:
+        config.ozaki_refine = True
+        solve = mixed_spd_solver(jnp.asarray(K))
+        x = np.asarray(solve(jnp.asarray(b)))
+    finally:
+        config.ozaki_refine = old
+    res = np.linalg.norm(K @ x - b) / np.linalg.norm(b)
+    assert res < 1e-10
