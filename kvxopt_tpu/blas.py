@@ -66,6 +66,10 @@ def _op(Av, trans):
 
 
 def _sym(Av, uplo, her=False):
+    # Hermitian handling is exact per-type: real input stays real
+    # end-to-end (reference blas.c:882 arg handling dispatches 'd'
+    # inputs to dsymv, never building complex intermediates).
+    her = her and Av.dtype.kind == "c"
     if uplo == "L":
         F = np.tril(Av) + np.tril(Av, -1).T
         if her:

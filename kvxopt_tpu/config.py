@@ -23,6 +23,19 @@ import jax
 if not os.environ.get("KVXOPT_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Keep the host XLA backend registered alongside the TPU backend: the
+# solver front ends route sub-MXU-scale problems (tiny single-instance
+# IPMs whose f64 programs are emulation- and dispatch-bound on TPU) to
+# the host executor — see `dispatch_device`.  The platform list is only
+# widened when the environment pinned a single non-CPU platform and the
+# backends have not been initialized yet; explicit user settings win.
+try:
+    _plat = jax.config.jax_platforms
+    if _plat and "cpu" not in _plat.split(","):
+        jax.config.update("jax_platforms", _plat + ",cpu")
+except Exception:  # never make the host path a requirement
+    pass
+
 # On TPU, f32 matmuls default to bfloat16 passes — far too coarse for
 # interior-point iterations.  Force true-f32 matmul precision (the f64
 # path is unaffected; opt out with KVXOPT_TPU_FAST_MATMUL=1).
@@ -53,6 +66,58 @@ compute_dtype = jnp.float32
 # of emulated-f64 matmuls.  Off by default until validated per backend;
 # set KVXOPT_TPU_OZAKI=1 (or config.ozaki_refine = True) to enable.
 ozaki_refine = os.environ.get("KVXOPT_TPU_OZAKI", "0") == "1"
+
+
+# ---------------------------------------------------------------------------
+# Executor dispatch: accelerator for MXU-scale work, host XLA for the rest.
+#
+# The reference is a CPU library; its de-facto benchmarks include tiny
+# problems (boeing2: n=143; userguide SDP: n=3) where an interior-point
+# solve can never feed a systolic array — on TPU such f64 programs are
+# bound by software f64 emulation and program-dispatch latency, not
+# FLOPs.  A serving framework's job is to route each solve to the
+# executor where it is fastest: single-instance solves below
+# ``host_dispatch_threshold`` unknowns run on the host XLA backend
+# (same traced programs, same caching), everything else on the
+# accelerator.  Set the threshold to 0 (or KVXOPT_TPU_HOST_DISPATCH=0)
+# to force everything onto the accelerator.
+# ---------------------------------------------------------------------------
+
+# Calibrated on TPU v5e + the image's AVX-512 host (BENCHNOTES round
+# 4): single-instance f64 coneqp crosses over near n≈512 (n=512
+# m=1024: TPU 1.79× host; n=143: host 15× TPU), and batched f64 IPMs
+# stay host-bound through n=384 (host 3× TPU there).
+host_dispatch_threshold = int(
+    os.environ.get("KVXOPT_TPU_HOST_DISPATCH", "512"))
+
+
+def host_device():
+    """The host XLA device, or None when unavailable."""
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
+def accelerator_is_host():
+    """True when the default backend IS the host (no accelerator)."""
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
+
+
+def dispatch_device(work_size):
+    """Pick the executor for a solve with ~``work_size`` unknowns in its
+    dense KKT system: None (default device) for accelerator-scale work,
+    the host XLA device for sub-threshold work.  Returns None whenever
+    host dispatch is disabled or the default backend is already the
+    host."""
+    if host_dispatch_threshold <= 0 or accelerator_is_host():
+        return None
+    if work_size >= host_dispatch_threshold:
+        return None
+    return host_device()
 
 
 def set_default_dtype(dtype):

@@ -427,7 +427,10 @@ def max(*args):
         elif isinstance(a, pwl):
             if len(a.blocks) == 1:
                 for p in a._flat_pieces():
-                    pieces.append(p if isinstance(p, pwl)
+                    # pwl_scalar pieces (from nested max(max(abs(x)),..))
+                    # have no _broadcast; the lowering handles them via
+                    # the 'pwls' spec, so keep them whole like pwl
+                    pieces.append(p if isinstance(p, (pwl, pwl_scalar))
                                   else p._broadcast(m))
             else:
                 # nested multi-block PWL: kept as a piece, lowered with

@@ -44,10 +44,14 @@ def default_nbits(n: int) -> int:
     return max(1, min(8, (24 - int(math.ceil(math.log2(max(n, 2))))) // 2))
 
 
-def default_nslices(nbits: int, target_bits: int = 44) -> int:
-    """Slices needed to cover `target_bits` of each operand's mantissa
-    (44 bits -> ~1e-13 worst-case relative error, comfortably below the
-    refinement loop's needs; 53 would be full f64)."""
+def default_nslices(nbits: int, target_bits: int = 52) -> int:
+    """Slices needed to cover `target_bits` of each operand's mantissa.
+    52 bits ≈ full f64: the matvec error floor (~2^-52 of the per-row
+    scale) then sits BELOW the mixed-precision PCG exit tolerance
+    (rtol_factor*eps64*||b||), so the refinement loop terminates via its
+    tolerance test instead of stalling through the 8-step window
+    (ADVICE r3: at the old 44 bits the floor sat above the tolerance and
+    every solve burned up to 8 extra matvecs)."""
     return int(math.ceil(target_bits / nbits))
 
 

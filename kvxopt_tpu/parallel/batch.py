@@ -95,12 +95,34 @@ def make_lp_solver(dims, kktsolver=None, options=None):
     return solve
 
 
+def _dispatched_batch(jitted, nargs_for_n):
+    """Wrap a jitted batched solver with call-time executor dispatch:
+    when the per-instance KKT size is below config.host_dispatch_threshold
+    the whole batch runs on the host XLA backend (one compiled vmapped
+    program there beats both the emulated-f64 TPU path and the
+    reference's sequential CPU solves — BENCHNOTES round 4); at
+    accelerator scale the call runs wherever its inputs live."""
+    from .. import config
+
+    def solve(*args):
+        n = args[nargs_for_n].shape[-1]
+        dev = config.dispatch_device(int(n))
+        if dev is None:
+            return jitted(*args)
+        args = tuple(a if a is None else jax.device_put(a, dev)
+                     for a in args)
+        with jax.default_device(dev):
+            return jitted(*args)
+
+    return solve
+
+
 def batched_lp_solver(dims, kktsolver=None, options=None, mesh=None):
     """vmap (optionally pjit over mesh axis 'batch') of make_lp_solver."""
     solve_one = make_lp_solver(dims, kktsolver, options)
     vsolve = jax.vmap(solve_one)
     if mesh is None:
-        return jax.jit(vsolve)
+        return _dispatched_batch(jax.jit(vsolve), 0)
     shard = NamedSharding(mesh, P("batch"))
     return jax.jit(vsolve, in_shardings=(shard,) * 3)
 
@@ -168,7 +190,7 @@ def batched_qp_solver(dims, kktsolver=None, options=None, mesh=None,
     solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
     vsolve = jax.vmap(solve_one)
     if mesh is None:
-        return jax.jit(vsolve)
+        return _dispatched_batch(jax.jit(vsolve), 1)
     spec = P("batch")
     shard = NamedSharding(mesh, spec)
     return jax.jit(vsolve, in_shardings=(shard,) * 4,

@@ -43,6 +43,25 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
            dualstart=None, kktsolver=None, options=None, xnewcopy=None,
            xdot=None, xscal=None, xaxpy=None, ynewcopy=None, ydot=None,
            yscal=None, yaxpy=None):
+    """Front end over `_conelp_impl`: routes the solve to the right
+    executor (host XLA for sub-MXU-scale problems — tiny f64 IPMs are
+    emulation- and dispatch-bound on TPU — accelerator otherwise) and
+    delegates.  See `_conelp_impl` for semantics."""
+    from .coneprog import _veclen, _dispatch_ctx
+    custom = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy,
+                                         ynewcopy, ydot, yscal, yaxpy))
+    n = None if (custom or callable(G)) else _veclen(c)
+    with _dispatch_ctx(n):
+        return _conelp_impl(
+            c, G, h, dims, A, b, primalstart, dualstart, kktsolver,
+            options, xnewcopy, xdot, xscal, xaxpy, ynewcopy, ydot,
+            yscal, yaxpy)
+
+
+def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
+                 dualstart=None, kktsolver=None, options=None,
+                 xnewcopy=None, xdot=None, xscal=None, xaxpy=None,
+                 ynewcopy=None, ydot=None, yscal=None, yaxpy=None):
     """Solve the cone LP pair (reference coneprog.py:31)
 
         minimize  c'x                 maximize  -h'z - b'y

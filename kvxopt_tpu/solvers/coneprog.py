@@ -61,6 +61,12 @@ class Options(NamedTuple):
     kktreg: float = 0.0
     sscaling: str = "eigh"  # s-block NT construction: 'eigh' (fast TPU
                             # compile) or 'svd' (full accuracy; ROADMAP 11)
+    ozaki: bool = False     # snapshot of config.ozaki_refine at resolve
+                            # time: the flag is read at TRACE time inside
+                            # the kkt solvers, so it must be part of the
+                            # cached-program key or flipping it after a
+                            # same-shaped solve would silently do nothing
+                            # (ADVICE r3)
 
     def resolve_refinement(self, dims):
         if self.refinement >= 0:
@@ -83,6 +89,7 @@ def _resolve_options(options):
         show_progress=bool(merged.get("show_progress", False)),
         kktreg=float(merged.get("kktreg", 0.0) or 0.0),
         sscaling=str(merged.get("sscaling", "eigh")),
+        ozaki=bool(merged.get("ozaki", config.ozaki_refine)),
     )
     dtype = merged.get("dtype", None) or config.default_dtype
     return o, jnp.dtype(dtype), merged
@@ -213,10 +220,58 @@ def _max_feasible_step(dims, lmbda, ds_w, dz_w, limit):
 # ---------------------------------------------------------------------------
 
 
+def _veclen(x):
+    """Element count of a vector-like argument WITHOUT forcing a device
+    transfer (shape metadata only); None when it cannot be determined."""
+    if x is None:
+        return None
+    try:
+        shp = getattr(x, "shape", None)
+        if shp is not None and not callable(shp):
+            return int(np.prod([int(d) for d in shp])) if len(shp) else 1
+        sz = getattr(x, "size", None)
+        if isinstance(sz, tuple):
+            return int(sz[0]) * int(sz[1])
+        return len(x)
+    except Exception:
+        return None
+
+
+def _dispatch_ctx(*sizes):
+    """Executor context for a solve whose dense KKT system has
+    ~max(sizes) unknowns: host XLA for sub-MXU-scale work (tiny f64
+    IPMs are emulation- and dispatch-bound on TPU — BENCHNOTES round
+    4), the default accelerator otherwise.  See config.dispatch_device."""
+    import contextlib
+    known = [s for s in sizes if s is not None]
+    if not known:
+        return contextlib.nullcontext()
+    dev = config.dispatch_device(max(known))
+    if dev is None:
+        return contextlib.nullcontext()
+    return jax.default_device(dev)
+
+
 def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
            kktsolver=None, options=None, xnewcopy=None, xdot=None,
            xscal=None, xaxpy=None, ynewcopy=None, ydot=None, yscal=None,
            yaxpy=None):
+    """Front end over `_coneqp_impl`: routes the solve to the right
+    executor (host XLA for sub-MXU-scale problems, accelerator
+    otherwise) and delegates.  See `_coneqp_impl` for semantics."""
+    custom = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy,
+                                         ynewcopy, ydot, yscal, yaxpy))
+    n = None if (custom or callable(G) or callable(P)) else _veclen(q)
+    with _dispatch_ctx(n):
+        return _coneqp_impl(
+            P, q, G, h, dims, A, b, initvals, kktsolver, options,
+            xnewcopy, xdot, xscal, xaxpy, ynewcopy, ydot, yscal, yaxpy)
+
+
+def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
+                 initvals=None, kktsolver=None, options=None,
+                 xnewcopy=None, xdot=None, xscal=None, xaxpy=None,
+                 ynewcopy=None, ydot=None, yscal=None, yaxpy=None):
     """Solve the cone QP
 
         minimize    (1/2) x'Px + q'x

@@ -92,6 +92,11 @@ def _run_both(ref, module, fname, buffers, kwargs, spec=None):
     for k, (o, r) in enumerate(zip(ours, refs)):
         oa = np.asarray(o)
         ra = np.array(r).reshape(oa.shape, order="F")
+        # exact per-typecode semantics (reference blas.c:882 arg
+        # handling): our buffer dtype must match the reference's —
+        # real routines must not route through complex intermediates
+        assert oa.dtype == ra.dtype, (
+            f"{fname} buffer {k}: dtype {oa.dtype} != ref {ra.dtype}")
         np.testing.assert_allclose(
             oa, ra, atol=1e-10 * max(1.0, np.abs(ra).max()),
             err_msg=f"{fname} buffer {k}")

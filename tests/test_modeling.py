@@ -257,3 +257,17 @@ def test_nested_scalar_pwl_in_max():
     assert q.status == "optimal"
     v = float(np.asarray(q.objective.value()).reshape(-1)[0])
     assert abs(v - (-2.0)) < 1e-5  # min sum(y) s.t. sum|y| <= 2
+
+    # triple nesting with a vector outer argument (ADVICE r3: flattening
+    # a single-block pwl whose pieces include a nested pwl_scalar):
+    # max(max(max(abs(x)), 0.5), x) elementwise, minimized via sum
+    z = variable(3)
+    r = op(sum(max(max(max(abs(z)), 0.5), z)),
+           [z >= -3, z <= 3, sum(z) == 1])
+    r.solve()
+    assert r.status == "optimal"
+    # optimum: spread z to keep max|z_i| at max(..) >= 0.5; with
+    # sum(z)=1 over 3 coords the minimax |z| is 1/3 < 0.5, so each
+    # row's value is 0.5 and the objective is 1.5
+    v = float(np.asarray(r.objective.value()).reshape(-1)[0])
+    assert abs(v - 1.5) < 1e-5
