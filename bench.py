@@ -123,8 +123,10 @@ def ipm_metrics():
     from kvxopt_tpu.parallel import batched_qp_solver
 
     vsolve = batched_qp_solver(ConeDims(l=IPM_M))
+    # host-resident numpy inputs: the executor dispatch places them
+    # (tiny per-instance KKTs run on the host XLA backend)
     Ps, qs, Gs, hs = _ipm_problem(int.from_bytes(os.urandom(4), "little"))
-    args = tuple(jnp.asarray(a, jnp.float64) for a in (Ps, qs, Gs, hs))
+    args = tuple(np.asarray(a, np.float64) for a in (Ps, qs, Gs, hs))
     out = vsolve(*args)          # compile
     out[0].block_until_ready()
     n_opt = int((np.asarray(out[5]) == 1).sum())
@@ -132,7 +134,7 @@ def ipm_metrics():
     ts = []
     for rep in range(5):
         Ps2, qs2, Gs2, hs2 = _ipm_problem(rep + 1)
-        a2 = tuple(jnp.asarray(a, jnp.float64)
+        a2 = tuple(np.asarray(a, np.float64)
                    for a in (Ps2, qs2, Gs2, hs2))
         t0 = time.perf_counter()
         o2 = vsolve(*a2)

@@ -207,13 +207,32 @@ def cfg_bcsstk():
         ts.append(time.perf_counter() - t0)
     t_ldlt = min(ts)                            # min: robust to host load
 
-    spla.splu(M.tocsc())
+    # strongest available CPU factorizations (VERDICT r3 #4: report the
+    # ratio against the best CPU column, not the package's own LDLT —
+    # real CHOLMOD needs a SuiteSparse download this image cannot make):
+    # SuperLU full factor + 2 solves, and dense LAPACK Cholesky on the
+    # same K the TPU factors
+    bvec = np.random.default_rng(0).standard_normal(n)
     ts = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
-        spla.splu(M.tocsc())
+        lu = spla.splu(M.tocsc())
+        lu.solve(lu.solve(bvec))
         ts.append(time.perf_counter() - t0)
     t_superlu = min(ts)
+
+    import scipy.linalg as sla
+    Ddense = M.toarray()
+    Kc = Ddense + Ddense.T
+    Kc[np.arange(n), np.arange(n)] += 10.0 * np.abs(Ddense).sum(1).max()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cf = sla.cho_factor(Kc, lower=True)
+        sla.cho_solve(cf, sla.cho_solve(cf, bvec))
+        ts.append(time.perf_counter() - t0)
+    t_dense_cpu = min(ts)
+    t_best_cpu = min(t_superlu, t_dense_cpu, t_ldlt)
 
     # TPU batched dense path at the padded size
     rng = np.random.default_rng(0)
@@ -243,11 +262,15 @@ def cfg_bcsstk():
     return {
         "workload": "bcsstk13 (n=2003, 42943 nnz) KKT factorize+2solves",
         "tpu_dense_batched_ms_per_matrix": round(1e3 * t_tpu, 3),
+        "cpu_best_ms": round(1e3 * t_best_cpu, 1),
+        "cpu_superlu_factor2solve_ms": round(1e3 * t_superlu, 1),
+        "cpu_dense_chol_factor2solve_ms": round(1e3 * t_dense_cpu, 1),
         "cpu_native_ldlt_refactor_ms": round(1e3 * t_ldlt, 1),
-        "cpu_superlu_full_factor_ms": round(1e3 * t_superlu, 1),
-        "vs_cpu_sparse": round(t_ldlt / t_tpu, 1),
-        "note": "CPU column is this package's from-scratch C++ LDLT "
-                "(CHOLMOD stand-in; real CHOLMOD unavailable here)",
+        "vs_cpu_sparse": round(t_best_cpu / t_tpu, 1),
+        "note": "vs_cpu_sparse is against the STRONGEST available CPU "
+                "factorization (min of SuperLU factor+2solve, dense "
+                "LAPACK Cholesky, native LDLT refactor); real CHOLMOD "
+                "needs a SuiteSparse download this image cannot make",
     }
 
 

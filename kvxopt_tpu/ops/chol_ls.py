@@ -56,6 +56,80 @@ PR = 2     # pivots factored per serial panel step (rank-PR updates).
            # in-step corrections and k=4 dot_generals cost more than the
            # extra step-count halving saves.
 
+import os
+STATIC_STEPS = os.environ.get("KVX_CHOL_STATIC", "0") == "1"
+                      # Python-unroll the per-segment pivot steps with
+                      # STATIC indices: row slices become static sublane
+                      # slices and pivot/coefficient extraction becomes
+                      # static lane selects instead of masked 128-lane
+                      # reductions — the serial VPU chain is the
+                      # kernel's wall (BENCHNOTES r2/r3), and its
+                      # per-step fixed cost is mostly these dynamic ops.
+
+
+def _panel_factor_inverse_static(dref, uref, yref, aref, B):
+    """Static-index variant of `_panel_factor_inverse`: every pivot row
+    index is a Python constant (segments AND steps unrolled), so Mosaic
+    lowers row reads to static sublane slices and pivot extraction to
+    static lane selects.  Semantics identical: on exit uref holds U
+    (D = U'U), yref holds Y = L11^{-1}."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (B, 1, BS), 2)
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
+    aref[...] = jnp.zeros((B, BS, BS), jnp.float32)
+
+    for seg in range(BS // SEG):
+        lo, hi = seg * SEG, (seg + 1) * SEG
+
+        for j in range(lo, hi, PR):
+            rows = dref[:, j:j + PR, :]                  # (B,PR,BS)
+            acc = aref[:, j:j + PR, :]
+            us, ys = [], []
+            for k in range(PR):
+                rk = rows[:, k:k + 1, :]                 # (B,1,BS)
+                yk = jnp.where(lanes == j + k, one, zero) - \
+                    acc[:, k:k + 1, :]
+                for m_ in range(k):
+                    # L[j+k, j+m] = lane (j+k) of u_m: a STATIC lane
+                    # select (vs the dynamic variant's masked reduce)
+                    coef = us[m_][:, :, j + k:j + k + 1]  # (B,1,1)
+                    rk = rk - coef * us[m_]
+                    yk = yk - coef * ys[m_]
+                piv = rk[:, :, j + k:j + k + 1]          # (B,1,1)
+                rs = jax.lax.rsqrt(piv)
+                us.append(jnp.where(lanes >= j + k, rk * rs, zero))
+                ys.append(yk * rs)
+            U = jnp.concatenate(us, axis=1)              # (B,PR,BS)
+            Y = jnp.concatenate(ys, axis=1)
+            uref[:, j:j + PR, :] = U
+            yref[:, j:j + PR, :] = Y
+            # rank-PR strip updates confined to the current segment
+            Uc = jnp.swapaxes(U, 1, 2)[:, lo:hi, :]      # (B,SEG,PR)
+            dims2 = (((2,), (1,)), ((0,), (0,)))
+            aref[:, lo:hi, :] = aref[:, lo:hi, :] + jax.lax.dot_general(
+                Uc, Y, dimension_numbers=dims2,
+                preferred_element_type=jnp.float32)
+            dref[:, lo:hi, :] = dref[:, lo:hi, :] - jax.lax.dot_general(
+                Uc, U, dimension_numbers=dims2,
+                preferred_element_type=jnp.float32)
+
+        if hi < BS:
+            # rank-SEG propagation to rows [hi, BS): one batched MXU
+            # matmul each for the factorization and the inverse
+            Useg = uref[:, lo:hi, :]                     # (B,SEG,BS)
+            Yseg = yref[:, lo:hi, :]                     # (B,SEG,BS)
+            Utail = Useg[:, :, hi:]                      # (B,SEG,BS-hi)
+            dims = (((1,), (1,)), ((0,), (0,)))
+            upd = jax.lax.dot_general(
+                Utail, Useg, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)      # (B,BS-hi,BS)
+            dref[:, hi:, :] = dref[:, hi:, :] - upd
+            aupd = jax.lax.dot_general(
+                Utail, Yseg, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+            aref[:, hi:, :] = aref[:, hi:, :] + aupd
+
 
 def _panel_factor_inverse(dref, uref, yref, aref, B):
     """Fused lockstep factorization + inverse of B symmetric 128x128
@@ -185,7 +259,10 @@ def _chol_ls_kernel(nb, B, G, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
         dcp.wait()
 
         # ---- 2. fused lockstep factor + inverse ---------------------
-        _panel_factor_inverse(dbuf, ubuf, ybuf, abuf, B)
+        if STATIC_STEPS:
+            _panel_factor_inverse_static(dbuf, ubuf, ybuf, abuf, B)
+        else:
+            _panel_factor_inverse(dbuf, ubuf, ybuf, abuf, B)
         ycp = pltpu.make_async_copy(ybuf, dinv_hbm.at[jnp.int32(kb)], dsem)
         ycp.start()
         L11 = jnp.swapaxes(ubuf[...], 1, 2)  # (B,BS,BS) lower

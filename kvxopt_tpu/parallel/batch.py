@@ -95,18 +95,24 @@ def make_lp_solver(dims, kktsolver=None, options=None):
     return solve
 
 
-def _dispatched_batch(jitted, nargs_for_n):
+def _dispatched_batch(jitted, nargs_for_n, kktsolver=None):
     """Wrap a jitted batched solver with call-time executor dispatch:
     when the per-instance KKT size is below config.host_dispatch_threshold
     the whole batch runs on the host XLA backend (one compiled vmapped
     program there beats both the emulated-f64 TPU path and the
     reference's sequential CPU solves — BENCHNOTES round 4); at
-    accelerator scale the call runs wherever its inputs live."""
+    accelerator scale the call runs wherever its inputs live.
+
+    Mixed-precision strategies never host-dispatch: their f32
+    factorizations exist to ride the MXU, and the host executor would
+    run the f32 factor + refinement loop slower than its own f64
+    Cholesky."""
     from .. import config
+    mixed = isinstance(kktsolver, str) and "mixed" in kktsolver
 
     def solve(*args):
         n = args[nargs_for_n].shape[-1]
-        dev = config.dispatch_device(int(n))
+        dev = None if mixed else config.dispatch_device(int(n))
         if dev is None:
             return jitted(*args)
         args = tuple(a if a is None else jax.device_put(a, dev)
@@ -122,7 +128,7 @@ def batched_lp_solver(dims, kktsolver=None, options=None, mesh=None):
     solve_one = make_lp_solver(dims, kktsolver, options)
     vsolve = jax.vmap(solve_one)
     if mesh is None:
-        return _dispatched_batch(jax.jit(vsolve), 0)
+        return _dispatched_batch(jax.jit(vsolve), 0, kktsolver)
     shard = NamedSharding(mesh, P("batch"))
     return jax.jit(vsolve, in_shardings=(shard,) * 3)
 
@@ -190,7 +196,7 @@ def batched_qp_solver(dims, kktsolver=None, options=None, mesh=None,
     solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
     vsolve = jax.vmap(solve_one)
     if mesh is None:
-        return _dispatched_batch(jax.jit(vsolve), 1)
+        return _dispatched_batch(jax.jit(vsolve), 1, kktsolver)
     spec = P("batch")
     shard = NamedSharding(mesh, spec)
     return jax.jit(vsolve, in_shardings=(shard,) * 4,

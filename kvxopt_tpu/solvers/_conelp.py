@@ -81,6 +81,11 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
     see `solvers.coneqp` for the exact functional signatures.
     """
     o, dtype, merged = _resolve_options(options)
+    # raw (usually host-resident) inputs, kept for the host-executor
+    # retry tier: rebuilding from these avoids pulling f64 buffers back
+    # off the accelerator (a device->host conversion program that must
+    # itself be compiled by the same toolchain that just failed)
+    _raw = (c, G, h, A, b)
     custom_x = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy))
     custom_y = any(f is not None for f in (ynewcopy, ydot, yscal, yaxpy))
     xops = _make_vecops(xnewcopy, xdot, xscal, xaxpy)
@@ -143,28 +148,65 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
     # retracing on repeated same-shape solves)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)
             and ps is None and dst is None and not (custom_x or custom_y)):
-        from .coneprog import (_cached_lp_solver_full,
-                               _cached_lp_solver_split, _FUSED_BAD)
+        from .coneprog import (
+            _cached_lp_solver_full, _cached_lp_solver_split, _FUSED_BAD,
+            _SPLIT_BAD, _compile_failure_is_permanent, _host_retry_ctx,
+            _accel_watchdog_s, _run_with_watchdog)
         key = (dims, kktsolver, o)
-        if key not in _FUSED_BAD:
-            try:
-                solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
-                pack = solve_fn(c, Ga, h, Aa, b)
-                return _conelp_result_from_pack(pack, dims)
-            except Exception:
-                # remote-compile toolchains occasionally reject the
-                # large fused program (e.g. compile-helper SIGABRT);
-                # remember the key so later calls skip straight to the
-                # cached split programs instead of re-failing
-                _FUSED_BAD.add(key)
-        try:
+
+        def run_fused():
+            solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
+            pack = solve_fn(c, Ga, h, Aa, b)
+            return _conelp_result_from_pack(pack, dims)
+
+        def run_split():
             part1, part2 = _cached_lp_solver_split(dims, kktsolver, o)
             state, hs = part1(c, Ga, h, Aa, b)
             pack = part2(state, c, hs, b)
             return _conelp_result_from_pack(pack, dims)
-        except Exception:
-            # last resort: the uncached eager path below
-            pass
+
+        wd = _accel_watchdog_s()
+        if key not in _FUSED_BAD:
+            try:
+                return _run_with_watchdog(run_fused, wd)
+            except Exception as e:
+                # remote-compile toolchains occasionally reject the
+                # large fused program (e.g. compile-helper SIGABRT) or
+                # HANG its compile RPC (the watchdog converts that to
+                # TimeoutError); remember persistent rejections so
+                # later calls skip straight to the split programs
+                if _compile_failure_is_permanent(e):
+                    _FUSED_BAD.add(key)
+        if key not in _SPLIT_BAD:
+            try:
+                return _run_with_watchdog(run_split, wd)
+            except Exception as e:
+                if _compile_failure_is_permanent(e):
+                    _SPLIT_BAD.add(key)
+        # both accelerator programs rejected: run the SAME cached
+        # programs on the host XLA executor (compiles reliably there;
+        # beats the former uncached eager re-trace by ~4 orders of
+        # magnitude)
+        ctx = _host_retry_ctx()
+        if ctx is not None:
+            try:
+                with ctx:
+                    rc, rG, rh, rA, rb = _raw
+                    c = _asarray(rc, dtype, name="c")
+                    h = _asarray(rh, dtype, shape=(dims.size,), name="h")
+                    b = (_asarray(rb, dtype, name="b") if rb is not None
+                         else jnp.zeros((0,), dtype))
+                    Ga = _asarray(rG, dtype, shape=(dims.size, n),
+                                  name="G")
+                    Aa = (jnp.zeros((0, n), dtype) if rA is None
+                          else _asarray(rA, dtype, name="A"))
+                    try:
+                        return run_fused()
+                    except Exception:
+                        return run_split()
+            except Exception:
+                # truly last resort: the uncached eager path below
+                pass
 
     # non-fast paths (custom kktsolver / operators / warm starts): apply
     # the s-block storage convention eagerly, then build the factor from

@@ -347,3 +347,93 @@ def test_filterdemo_lowpass_design(ref):
     assert (y1 <= d1 + 1e-7).all() and (y1 >= 1.0 / d1 - 1e-7).all()
     # a real lowpass: stopband attenuation well below the passband level
     assert att < 1.0 / d1
+
+
+# ---------------------------------------------------------------------------
+# rls (reference examples/book/chap4/rls.py:1 — fig 4.11, regularized
+# least-squares): optimal values of min/max ||Ax-b||^2 s.t. x'x = alpha
+# via SDP duals.  The reference loads a pickle (rls.bin, not in the
+# tree); data is synthesized here.  Independent oracle: the sphere-
+# constrained LS optimum from the secular equation (bisection on the
+# Lagrange multiplier), plus the reference's own sdp on the same data.
+
+
+def _rls_data(m=6, n=4, seed=7):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    return A, b
+
+
+def _rls_gh(A, b):
+    """The example's G, h for the two-variable (t, u) SDP."""
+    m, n = A.shape
+    G = np.zeros(((n + 1) ** 2, 2))
+    G[-1, 0] = -1.0                        # coefficient of t
+    G[: (n + 1) ** 2 - 1: n + 2, 1] = -1.0  # coefficient of u
+    Ab = np.hstack([A, b.reshape(-1, 1)])
+    h = Ab.T @ Ab                          # [A b]'[A b], (n+1)x(n+1)
+    return G, h
+
+
+def _sphere_ls_value(A, b, alpha, minimize=True):
+    """min/max ||Ax-b||^2 over ||x||^2 = alpha by bisection on the
+    multiplier in (A'A + lam I) x = A'b (trust-region secular
+    equation; no hard case for generic data)."""
+    H = A.T @ A
+    g = A.T @ b
+    w = np.linalg.eigvalsh(H)
+    lo, hi = (-w[0], -w[0] + 1e6) if minimize else (-w[-1] - 1e6, -w[-1])
+    for _ in range(200):
+        lam = 0.5 * (lo + hi)
+        x = np.linalg.solve(H + lam * np.eye(H.shape[0]), g)
+        nrm2 = float(x @ x)
+        # ||x(lam)||^2 is decreasing in lam on the min branch
+        # (lam > -w_min) and increasing on the max branch (lam < -w_max)
+        if (nrm2 > alpha) == minimize:
+            lo = lam
+        else:
+            hi = lam
+    r = A @ x - b
+    return float(r @ r)
+
+
+def test_rls_bounds_vs_secular_oracle():
+    """Lower/upper bound SDPs reproduce the exact sphere-constrained LS
+    optima (the duality in the example is tight for this problem)."""
+    A, b = _rls_data()
+    G, h = _rls_gh(A, b)
+    for alpha in (0.2, 1.0, 3.0):
+        c = np.array([1.0, alpha])
+        lb = sdp(c, Gs=[matrix(np.asfortranarray(G))],
+                 hs=[matrix(np.asfortranarray(h))])
+        assert lb["status"] == "optimal"
+        lval = -float(c @ np.asarray(lb["x"]).ravel())
+        exact = _sphere_ls_value(A, b, alpha, minimize=True)
+        np.testing.assert_allclose(lval, exact, rtol=1e-5, atol=1e-6)
+    for alpha in (0.2, 0.6):
+        c = np.array([1.0, alpha])
+        ub = sdp(c, Gs=[matrix(np.asfortranarray(G))],
+                 hs=[matrix(np.asfortranarray(-h))])
+        assert ub["status"] == "optimal"
+        uval = float(c @ np.asarray(ub["x"]).ravel())
+        exact = _sphere_ls_value(A, b, alpha, minimize=False)
+        np.testing.assert_allclose(uval, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_rls_bounds_vs_reference(ref):
+    """Same SDPs through the reference solver on identical data."""
+    from kvxopt import solvers as rsolvers
+    rmatrix = ref.matrix
+    A, b = _rls_data()
+    G, h = _rls_gh(A, b)
+    for alpha, sign in ((1.0, 1), (0.6, -1)):
+        c = np.array([1.0, alpha])
+        ours = sdp(c, Gs=[matrix(np.asfortranarray(G))],
+                   hs=[matrix(np.asfortranarray(sign * h))])
+        rsol = rsolvers.sdp(rmatrix(c.reshape(-1, 1)),
+                            Gs=[rmatrix(np.asfortranarray(G))],
+                            hs=[rmatrix(np.asfortranarray(sign * h))])
+        np.testing.assert_allclose(
+            np.asarray(ours["x"]).ravel(),
+            np.array(rsol["x"]).ravel(), rtol=1e-5, atol=1e-6)
