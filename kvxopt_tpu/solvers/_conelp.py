@@ -151,7 +151,7 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
         from .coneprog import (
             _cached_lp_solver_full, _cached_lp_solver_split, _FUSED_BAD,
             _SPLIT_BAD, _compile_failure_is_permanent, _host_retry_ctx,
-            _accel_watchdog_s, _run_with_watchdog)
+            _accel_watchdog_s, _run_with_watchdog, _ambient_device)
         key = (dims, kktsolver, o)
 
         def run_fused():
@@ -165,10 +165,12 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
             pack = part2(state, c, hs, b)
             return _conelp_result_from_pack(pack, dims)
 
-        wd = _accel_watchdog_s()
+        amb = _ambient_device()
+        on_host = amb is not None and getattr(amb, "platform", "") == "cpu"
+        wd = 0.0 if on_host else _accel_watchdog_s()
         if key not in _FUSED_BAD:
             try:
-                return _run_with_watchdog(run_fused, wd)
+                return _run_with_watchdog(run_fused, wd, amb)
             except Exception as e:
                 # remote-compile toolchains occasionally reject the
                 # large fused program (e.g. compile-helper SIGABRT) or
@@ -179,7 +181,7 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
                     _FUSED_BAD.add(key)
         if key not in _SPLIT_BAD:
             try:
-                return _run_with_watchdog(run_split, wd)
+                return _run_with_watchdog(run_split, wd, amb)
             except Exception as e:
                 if _compile_failure_is_permanent(e):
                     _SPLIT_BAD.add(key)

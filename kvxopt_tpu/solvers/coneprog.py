@@ -382,10 +382,12 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
                                 pack["y"], pack["s"], pack["z"], dims,
                                 metrics, int(pack["it"]) - 1)
 
-        wd = _accel_watchdog_s()
+        amb = _ambient_device()
+        on_host = amb is not None and getattr(amb, "platform", "") == "cpu"
+        wd = 0.0 if on_host else _accel_watchdog_s()
         if key not in _FUSED_BAD:
             try:
-                return _run_with_watchdog(run_fused, wd)
+                return _run_with_watchdog(run_fused, wd, amb)
             except Exception as e:
                 # remember persistent rejections; later calls go
                 # straight to the cached split programs (transient
@@ -394,7 +396,7 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
                     _FUSED_BAD.add(key)
         if key not in _SPLIT_BAD:
             try:
-                return _run_with_watchdog(run_split, wd)
+                return _run_with_watchdog(run_split, wd, amb)
             except Exception as e:
                 if _compile_failure_is_permanent(e):
                     _SPLIT_BAD.add(key)
@@ -517,18 +519,36 @@ def _accel_watchdog_s() -> float:
     return float(os.environ.get("KVXOPT_TPU_COMPILE_TIMEOUT", "900"))
 
 
-def _run_with_watchdog(fn, timeout_s):
+def _ambient_device():
+    """The thread-local default-device override currently in effect
+    (None when unset).  jax.default_device contexts are THREAD-LOCAL:
+    any helper that runs work in a separate thread must re-enter the
+    override there or the work silently lands on the default backend
+    (measured: a host-dispatched SDP cold solve paying a ~2-minute
+    failed accelerator compile first)."""
+    try:
+        return jax.config.jax_default_device
+    except Exception:
+        return None
+
+
+def _run_with_watchdog(fn, timeout_s, device=None):
     """Run fn() with a wall-clock guard: raises TimeoutError if it does
     not complete in time (the worker thread is abandoned — compilation
-    holds no Python locks while stuck in the RPC)."""
+    holds no Python locks while stuck in the RPC).  `device` re-enters
+    a thread-local jax.default_device override inside the worker."""
     if not timeout_s or timeout_s <= 0:
         return fn()
+    import contextlib
     import threading
     out = {}
 
     def worker():
         try:
-            out["val"] = fn()
+            ctx = (jax.default_device(device) if device is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                out["val"] = fn()
         except BaseException as e:  # propagated to the caller below
             out["err"] = e
 
