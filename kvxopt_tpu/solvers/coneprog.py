@@ -24,6 +24,7 @@ float64; see kvxopt_tpu.config for the TPU mixed-precision strategy).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -93,6 +94,29 @@ def _resolve_options(options):
     )
     dtype = merged.get("dtype", None) or config.default_dtype
     return o, jnp.dtype(dtype), merged
+
+
+@functools.lru_cache(maxsize=256)
+def _empty_vec_cached(dev, dtype):
+    return jnp.zeros((0,), dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _empty_mat_cached(dev, n, dtype):
+    return jnp.zeros((0, n), dtype)
+
+
+def _empty_vec(dtype):
+    """Cached (0,) constant: creating it eagerly costs a device op
+    (~250 us/call measured on the 2 ms warm userguide SDP path).  Keyed
+    by the ambient default-device override so dispatch contexts get
+    their own copy."""
+    return _empty_vec_cached(_ambient_device(), jnp.dtype(dtype))
+
+
+def _empty_mat(n, dtype):
+    """Cached (0, n) constant (see _empty_vec)."""
+    return _empty_mat_cached(_ambient_device(), n, jnp.dtype(dtype))
 
 
 def _asarray(x, dtype, shape=None, name="argument"):
@@ -330,8 +354,7 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
         raise ValueError("the cone must be nonempty")
     h = _asarray(h, dtype, shape=(dims.size,), name="h")
     if not custom_y:
-        b = _asarray(b, dtype, name="b") if b is not None else jnp.zeros(
-            (0,), dtype)
+        b = _asarray(b, dtype, name="b") if b is not None else _empty_vec(dtype)
         has_y = b.shape[0]
     else:
         has_y = 1
@@ -343,7 +366,7 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
                                        name="G")
     Aa = None
     if not A_is_op:
-        Aa = (jnp.zeros((0, n), dtype) if A is None and n is not None
+        Aa = (_empty_mat(n, dtype) if A is None and n is not None
               else _asarray(A, dtype, name="A"))
     Pa = None if P_is_op else _asarray(P, dtype, shape=(n, n), name="P")
 
@@ -362,25 +385,27 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
         key = (dims, kktsolver, o)
         Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
 
+        def _result_from_pack(pack):
+            pack = jax.device_get(pack)
+            it, status = (int(float(v)) for v in pack["meta"][:2])
+            metrics = _qp_metrics_dict_from_pack(pack)
+            return _result_dict(status, pack["x"], pack["y"],
+                                pack["s"], pack["z"], dims, metrics,
+                                it - 1)
+
         def run_fused():
             solve_fn = _cached_qp_solver_full(dims, kktsolver, o)
-            pack = jax.device_get(solve_fn(Pz, q, Ga, h, Aa, b))
-            metrics = _qp_metrics_dict_from_pack(pack)
-            return _result_dict(int(pack["status"]), pack["x"],
-                                pack["y"], pack["s"], pack["z"], dims,
-                                metrics, int(pack["it"]) - 1)
+            return _result_from_pack(solve_fn(Pz, q, Ga, h, Aa, b))
 
         def run_split():
             part1, part2 = _cached_qp_solver_split(dims, kktsolver, o)
             x, y, s, z, it, status, m = part1(Pz, q, Ga, h, Aa, b)
             slack_s, slack_z = part2(s, z)
-            pack = dict(x=x, y=y, s=s, z=z, it=it, status=status, m=m,
-                        slack_s=slack_s, slack_z=slack_z)
-            pack = jax.device_get(pack)
-            metrics = _qp_metrics_dict_from_pack(pack)
-            return _result_dict(int(pack["status"]), pack["x"],
-                                pack["y"], pack["s"], pack["z"], dims,
-                                metrics, int(pack["it"]) - 1)
+            meta = jnp.stack([
+                it.astype(x.dtype), status.astype(x.dtype),
+                slack_s, slack_z, m.pcost, m.dcost, m.gap, m.relgap,
+                m.pres, m.dres])
+            return _result_from_pack(dict(x=x, y=y, s=s, z=z, meta=meta))
 
         amb = _ambient_device()
         on_host = amb is not None and getattr(amb, "platform", "") == "cpu"
@@ -410,10 +435,10 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
                     q = _asarray(rq, dtype, name="q")
                     h = _asarray(rh, dtype, shape=(dims.size,), name="h")
                     b = (_asarray(rb, dtype, name="b") if rb is not None
-                         else jnp.zeros((0,), dtype))
+                         else _empty_vec(dtype))
                     Ga = _asarray(rG, dtype, shape=(dims.size, n),
                                   name="G")
-                    Aa = (jnp.zeros((0, n), dtype) if rA is None
+                    Aa = (_empty_mat(n, dtype) if rA is None
                           else _asarray(rA, dtype, name="A"))
                     Pz = (_asarray(rP, dtype, shape=(n, n), name="P")
                           if rP is not None
@@ -597,8 +622,11 @@ def _cached_qp_solver_full(dims, kktsolver, o: Options):
         G = cones.sym_from_lower_cols(dims, G)
         x, y, s, z, it, status, m = solve(P, q, G, h, A, b)
         ts, tz = cones.max_step2(dims, s, z)
-        return dict(x=x, y=y, s=s, z=z, it=it, status=status, m=m,
-                    slack_s=-ts, slack_z=-tz)
+        # scalars ride ONE vector (see _conelp._finalize_pack)
+        meta = jnp.stack([
+            it.astype(x.dtype), status.astype(x.dtype), -ts, -tz,
+            m.pcost, m.dcost, m.gap, m.relgap, m.pres, m.dres])
+        return dict(x=x, y=y, s=s, z=z, meta=meta)
 
     return jax.jit(full)
 
@@ -671,12 +699,11 @@ def _cached_lp_solver_split(dims, kktsolver, o: Options):
 
 
 def _qp_metrics_dict_from_pack(pack):
-    m = pack["m"]
-    relgap = float(m.relgap) if hasattr(m, "relgap") else float(m[3])
-    vals = [float(v) for v in (m if not hasattr(m, "pcost") else
-                               (m.pcost, m.dcost, m.gap, m.relgap,
-                                m.pres, m.dres))]
-    pcost, dcost, gap, relgap, pres, dres = vals
+    """Metrics dict from a fetched fast-path pack whose scalars ride the
+    single 'meta' vector: [it, status, slack_s, slack_z, pcost, dcost,
+    gap, relgap, pres, dres]."""
+    (_, _, slack_s, slack_z, pcost, dcost, gap, relgap, pres,
+     dres) = (float(v) for v in pack["meta"])
     return {
         "primal objective": pcost,
         "dual objective": dcost,
@@ -684,8 +711,8 @@ def _qp_metrics_dict_from_pack(pack):
         "relative gap": None if not math.isfinite(relgap) else relgap,
         "primal infeasibility": pres,
         "dual infeasibility": dres,
-        "primal slack": float(pack["slack_s"]),
-        "dual slack": float(pack["slack_z"]),
+        "primal slack": slack_s,
+        "dual slack": slack_z,
     }
 
 
