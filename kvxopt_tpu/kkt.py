@@ -39,7 +39,13 @@ STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr", "chol2_mixed",
 
 
 def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
-                    reg: float = 0.0):
+                    reg: float = 0.0, ozaki=None):
+    """ozaki: None = follow config.ozaki_refine; True/False force the
+    exact-split refinement matvec for the mixed strategies.  Measured on
+    chip (BENCHNOTES r4): the split matvec wins ~2x for BATCHED mixed
+    refinement (many lanes amortize the slice matmuls) and loses for
+    single-instance matvec-shaped products, so the batched mixed driver
+    passes True and everything else defaults to the config flag."""
     if name not in STRATEGIES:
         raise ValueError(f"unknown kktsolver {name!r}; expected one of "
                          f"{STRATEGIES}")
@@ -51,7 +57,7 @@ def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
     edims = dims.with_extra_l(mnl) if mnl else dims
     fn = {"chol2": _kkt_chol2, "chol": _kkt_chol, "qr": _kkt_qr,
           "ldl": _kkt_ldl, "ldl2": _kkt_ldl2,
-          "chol2_mixed": _kkt_chol2_mixed,
+          "chol2_mixed": partial(_kkt_chol2_mixed, ozaki=ozaki),
           # chol2_mixed without the per-instance f64-factor fallback:
           # the vmap-friendly variant (under vmap lax.cond lowers to a
           # select, so the fallback branch would execute — and pay the
@@ -59,7 +65,8 @@ def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
           # pair it with a host-side f64 re-solve of failed lanes
           # (parallel/batch.py batched_qp_solver_mixed).
           "chol2_mixed_nofb": partial(_kkt_chol2_mixed,
-                                      fallback=False)}[name]
+                                      fallback=False,
+                                      ozaki=ozaki)}[name]
     return partial(fn, dims, edims, G, A, P, mnl, reg)
 
 
@@ -273,7 +280,7 @@ def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
 
 
 def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
-                     fallback=True):
+                     fallback=True, ozaki=None):
     """Condensed normal equations with the adaptive mixed-precision SPD
     solver.  The TPU performance configuration at the reference's 1e-7
     tolerances (coneprog.py:440-454): the O(N n^2) normal-equations
@@ -291,7 +298,9 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
     if reg:
         Kx32 = Kx32 + jnp.asarray(reg, cdt) * jnp.eye(n, dtype=cdt)
 
-    if config.ozaki_refine:
+    if ozaki is None:
+        ozaki = config.ozaki_refine
+    if ozaki:
         # exact-split f64 products on the MXU (ops/ozaki.py): the
         # refinement matvec is the wall of the mixed-precision path on
         # TPU (BENCHNOTES round 3) — emulated-f64 matmuls never touch

@@ -58,7 +58,8 @@ def make_qp_solver(dims, kktsolver=None, options=None, with_eq=False):
         else:
             A = jnp.asarray(A, dtype)
             b = jnp.asarray(b, dtype)
-        factor = kkt.make_kkt_solver(kktsolver, dims, G, A, P, reg=o.kktreg)
+        factor = kkt.make_kkt_solver(kktsolver, dims, G, A, P,
+                                     reg=o.kktreg, ozaki=o.ozaki)
         gmv = lambda v, trans=False: (G.T @ v if trans else G @ v)
         amv = lambda v, trans=False: (A.T @ v if trans else A @ v)
         pmv = lambda v: P @ v
@@ -86,7 +87,7 @@ def make_lp_solver(dims, kktsolver=None, options=None):
             A = jnp.zeros((0, c.shape[0]), dtype)
             b = jnp.zeros((0,), dtype)
         factor = kkt.make_kkt_solver(kktsolver, dims, G, A, None,
-                                     reg=o.kktreg)
+                                     reg=o.kktreg, ozaki=o.ozaki)
         gmv = lambda v, trans=False: (G.T @ v if trans else G @ v)
         amv = lambda v, trans=False: (A.T @ v if trans else A @ v)
         return _conelp_core(c, G, h, A, b, dims, o, factor, gmv, amv,
@@ -154,7 +155,15 @@ def batched_qp_solver_mixed(dims, options=None, mesh=None, with_eq=False):
     metrics) with numpy-backed leaves (host orchestration fetches them
     anyway)."""
     from ..solvers.coneprog import OPTIMAL
-    fast = batched_qp_solver(dims, "chol2_mixed_nofb", options, mesh,
+    # force the exact-split refinement matvec for the vmapped fast pass:
+    # the batch lanes amortize the slice matmuls on the MXU (measured
+    # ~2x over emulated-f64 matvecs at B=16 n=256 — BENCHNOTES r4);
+    # explicit options still win
+    o = options if isinstance(options, Options) else Options(
+        **(options or {}))
+    if o.ozaki is None:
+        o = o._replace(ozaki=True)
+    fast = batched_qp_solver(dims, "chol2_mixed_nofb", o, mesh,
                              with_eq)
     slow_cache = {}
 

@@ -217,7 +217,7 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
         Ga = cones.sym_from_lower_cols(dims, Ga)
     if isinstance(kktsolver, str):
         factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, None,
-                                     reg=o.kktreg)
+                                     reg=o.kktreg, ozaki=o.ozaki)
     else:
         factor = kktsolver
     gmv = G if G_is_op else (lambda x, trans=False:

@@ -62,12 +62,15 @@ class Options(NamedTuple):
     kktreg: float = 0.0
     sscaling: str = "eigh"  # s-block NT construction: 'eigh' (fast TPU
                             # compile) or 'svd' (full accuracy; ROADMAP 11)
-    ozaki: bool = False     # snapshot of config.ozaki_refine at resolve
-                            # time: the flag is read at TRACE time inside
-                            # the kkt solvers, so it must be part of the
-                            # cached-program key or flipping it after a
-                            # same-shaped solve would silently do nothing
-                            # (ADVICE r3)
+    ozaki: object = None    # exact-split refinement matvecs for the
+                            # mixed KKT strategies: None = follow
+                            # config.ozaki_refine (snapshotted at
+                            # resolve time so cached programs key on it
+                            # — ADVICE r3), True/False force.  The
+                            # batched mixed driver forces True (2x on
+                            # chip); single-instance solves default off
+                            # (matvec-shaped splits underuse the MXU —
+                            # BENCHNOTES r4)
 
     def resolve_refinement(self, dims):
         if self.refinement >= 0:
@@ -458,7 +461,7 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
         Ga = cones.sym_from_lower_cols(dims, Ga)
     if isinstance(kktsolver, str):
         factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, Pa,
-                                     reg=o.kktreg)
+                                     reg=o.kktreg, ozaki=o.ozaki)
     else:
         factor = kktsolver
 
