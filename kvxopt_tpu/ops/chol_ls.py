@@ -48,8 +48,10 @@ if sys.getrecursionlimit() < 20000:
 BS = 128
 
 
-SEG = 16
-PR = 2     # pivots factored per serial panel step (rank-PR updates).
+import os as _os
+SEG = int(_os.environ.get("KVX_CHOL_SEG", "16"))
+PR = int(_os.environ.get("KVX_CHOL_PR", "2"))
+           # pivots factored per serial panel step (rank-PR updates).
            # Measured on chip (B=16 n=1024, factor + 2 solves, slope
            # method): PR=1 1.90 ms (3.04 TFLOP/s), PR=2 1.39 ms
            # (4.17 TFLOP/s), PR=4 1.73 ms (3.36 TFLOP/s) — the rank-4
@@ -247,6 +249,11 @@ def _chol_ls_kernel(nb, B, G, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
             csems.at[jnp.int32(slot)])
 
     dims_bt = (((2,), (2,)), ((0,), (0,)))   # batched X @ Y^T
+    dims_std = (((2,), (1,)), ((0,), (0,)))  # batched X @ Y (MXU-native)
+    # contract against an explicitly pre-transposed SMALL operand in the
+    # canonical (m,k)@(k,n) form instead of X @ Y^T: lane-lane
+    # contractions can make Mosaic transpose the large operand
+    TT = _os.environ.get("KVX_CHOL_TT", "0") == "1"
 
     for kb in range(nb):
         base = kb * BS
@@ -285,9 +292,15 @@ def _chol_ls_kernel(nb, B, G, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
 
             # panel transform: L[kb:, kb] = P @ L11^{-T} = P @ Y'
             P = pbuf[ps, :, :nr, :]                        # (G,nr,BS)
-            L = jax.lax.dot_general(
-                P, ybuf[gs:gs + G], dimension_numbers=dims_bt,
-                preferred_element_type=jnp.float32)        # (G,nr,BS)
+            if TT:
+                Yt = jnp.swapaxes(ybuf[gs:gs + G], 1, 2)   # (G,BS,BS)
+                L = jax.lax.dot_general(
+                    P, Yt, dimension_numbers=dims_std,
+                    preferred_element_type=jnp.float32)
+            else:
+                L = jax.lax.dot_general(
+                    P, ybuf[gs:gs + G], dimension_numbers=dims_bt,
+                    preferred_element_type=jnp.float32)    # (G,nr,BS)
             pbuf[ps, :, :nr, :] = L
             pbuf[ps, :, :BS, :] = L11[gs:gs + G]  # diagonal band
             L = pbuf[ps, :, :nr, :]
@@ -316,9 +329,15 @@ def _chol_ls_kernel(nb, B, G, a_hbm, o_hbm, dinv_hbm, pbuf, cbuf, dbuf,
                     gcol_cp(src, gs, (jb + 1) * BS, ns).start()
                 Lsub = L[:, lo:, :]                        # (G,n-cb,BS)
                 Ljb = L[:, lo:lo + BS, :]                  # (G,BS,BS)
-                upd = jax.lax.dot_general(
-                    Lsub, Ljb, dimension_numbers=dims_bt,
-                    preferred_element_type=jnp.float32)    # (G,n-cb,BS)
+                if TT:
+                    Ljt = jnp.swapaxes(Ljb, 1, 2)
+                    upd = jax.lax.dot_general(
+                        Lsub, Ljt, dimension_numbers=dims_std,
+                        preferred_element_type=jnp.float32)
+                else:
+                    upd = jax.lax.dot_general(
+                        Lsub, Ljb, dimension_numbers=dims_bt,
+                        preferred_element_type=jnp.float32)  # (G,n-cb,BS)
                 cbuf[cs, :, :n - cb, :] = cbuf[cs, :, :n - cb, :] - upd
                 wcp = pltpu.make_async_copy(
                     cbuf.at[jnp.int32(cs), :, :n - cb, :],
@@ -352,7 +371,13 @@ def batched_cholesky_ls(A, interpret=False):
     else:
         Ap = A
 
-    G = next(g for g in (8, 4, 2, 1) if B % g == 0)
+    # widest group that fits the double-buffered panel+column strips in
+    # VMEM (2 slots x 2 buffers x G x npad x BS x 4B <= 64MB).  G=16 at
+    # n=1024 measured neutral vs G=8 (the strips are DMA-overlapped
+    # either way — BENCHNOTES r4), so 8 stays the cap; the VMEM budget
+    # matters for large npad where the old fixed choice could overflow.
+    G = next(g for g in (8, 4, 2, 1)
+             if B % g == 0 and 16 * g * npad * BS <= 64 * 1024 * 1024)
     kernel = functools.partial(_chol_ls_kernel, nb, B, G)
     L, Dinv = pl.pallas_call(
         kernel,
