@@ -77,6 +77,45 @@ def tpu_seconds_per_batch():
     return sorted(per)[1]  # median of 3 slope estimates
 
 
+def kernel_scaling():
+    """Factor-only TFLOP/s at growing n: the serial pivot chain's share
+    shrinks as n grows (BENCHNOTES r4 ceiling analysis), so these rows
+    show the kernel's compute-bound regime.  Shapes match the r4 probe
+    runs so the persistent cache makes them cheap."""
+    import jax
+    import jax.numpy as jnp
+    from kvxopt_tpu.ops.chol_ls import batched_cholesky_ls
+
+    rows = {}
+    for Bk, Nk in ((16, 1024), (8, 2048), (2, 4096)):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((Bk, Nk, Nk)).astype(np.float32)
+        Ks = 0.5 * (A + A.transpose(0, 2, 1)) + (2.0 * Nk) * np.eye(
+            Nk, dtype=np.float32)[None]
+        Kd = jnp.asarray(Ks)
+        eye = jnp.eye(Nk, dtype=jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def fac_only(K, m):
+            def body(s, _):
+                Kp = K + (s * 1e-9)[None, None, None] * eye
+                L, Dinv = batched_cholesky_ls(Kp)
+                return jnp.sum(L) * 1e-9, None
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=m)
+            return s
+
+        def run(m):
+            t0 = time.perf_counter()
+            float(fac_only(Kd, m))
+            return time.perf_counter() - t0
+
+        run(2); run(10)
+        per = sorted((run(10) - run(2)) / 8 for _ in range(3))
+        t = per[1]
+        rows[f"B{Bk}_n{Nk}"] = round(Bk * Nk ** 3 / 3 / t / 1e12, 2)
+    return rows
+
+
 def cpu_seconds_per_batch():
     import scipy.linalg as sla
     rng = np.random.default_rng(0)
@@ -297,6 +336,10 @@ def main():
     if cl:
         large["cpu_f64_ms_per_solve"] = round(cl * 1e3, 1)
         large["vs_cpu"] = round(cl / tl, 2)
+    try:
+        scaling = kernel_scaling()
+    except Exception:
+        scaling = {}
     configs = {}
     if os.environ.get("KVX_BENCH_CONFIGS", "1") != "0":
         import bench_configs
@@ -306,6 +349,7 @@ def main():
         "value": round(tpu_thr, 2),
         "unit": "factorizations/s",
         "vs_baseline": round(tpu_thr / cpu_thr, 2),
+        "kernel_tflops_scaling": scaling,
         "ipm": ipm,
         "ipm_large": large,
         "configs": configs,
