@@ -85,10 +85,27 @@ ozaki_refine = os.environ.get("KVXOPT_TPU_OZAKI", "0") == "1"
 
 # Calibrated on TPU v5e + the image's AVX-512 host (BENCHNOTES round
 # 4): single-instance f64 coneqp crosses over near n≈512 (n=512
-# m=1024: TPU 1.79× host; n=143: host 15× TPU), and batched f64 IPMs
-# stay host-bound through n=384 (host 3× TPU there).
+# m=1024: TPU 1.79× host; n=143: host 15× TPU).  BATCHED IPMs stay
+# host-bound much longer — the lockstep vmap makes every lane pay the
+# batch's worst-case iteration/refinement counts (B=16 n=512: host
+# 2.4 solves/s vs TPU mixed 0.5; B=8 n=1024: host 0.48 vs TPU 0.2) —
+# so batched solves use their own, higher threshold.
 host_dispatch_threshold = int(
     os.environ.get("KVXOPT_TPU_HOST_DISPATCH", "512"))
+host_dispatch_threshold_batched = int(
+    os.environ.get("KVXOPT_TPU_HOST_DISPATCH_BATCHED", "2048"))
+
+
+def dispatch_device_batched(work_size):
+    """Executor for a BATCHED solve with ~work_size unknowns per
+    instance (see host_dispatch_threshold_batched)."""
+    if (host_dispatch_threshold <= 0
+            or host_dispatch_threshold_batched <= 0
+            or accelerator_is_host()):
+        return None
+    if work_size >= host_dispatch_threshold_batched:
+        return None
+    return host_device()
 
 
 def host_device():

@@ -113,7 +113,7 @@ def _dispatched_batch(jitted, nargs_for_n, kktsolver=None):
 
     def solve(*args):
         n = args[nargs_for_n].shape[-1]
-        dev = None if mixed else config.dispatch_device(int(n))
+        dev = None if mixed else config.dispatch_device_batched(int(n))
         if dev is None:
             return jitted(*args)
         args = tuple(a if a is None else jax.device_put(a, dev)
