@@ -12,7 +12,7 @@ parallelism is BLAS threading.  The TPU-native equivalent introduced here:
 
 from .batch import (  # noqa: F401
     make_qp_solver, batched_qp_solver, batched_qp_solver_mixed,
-    make_lp_solver,
+    batched_qp_solver_seq, make_lp_solver,
     batched_lp_solver, make_mesh)
 from .sharded import sharded_kkt_factor, sharded_kkt_solver  # noqa: F401
 from .arrow import arrow_kkt_factor  # noqa: F401

@@ -198,6 +198,32 @@ def batched_qp_solver_mixed(dims, options=None, mesh=None, with_eq=False):
     return solve
 
 
+def batched_qp_solver_seq(dims, kktsolver="chol2_mixed", options=None,
+                          with_eq=False):
+    """Sequentially-mapped batch driver: `lax.map` of the
+    single-instance solve instead of `vmap`.
+
+    Under vmap every lane pays the batch's WORST-CASE iteration and
+    refinement counts (while_loops run until all lanes' conds are
+    false, and `lax.cond` lowers to a select so both branches execute)
+    — measured on chip, the vmapped mixed path loses ~4x of its
+    single-instance throughput at n>=512 (BENCHNOTES r4 crossover
+    table).  `lax.map` keeps each instance's own trip counts AND a
+    real cond, so the per-instance f64-factor fallback of plain
+    'chol2_mixed' works — no two-pass host orchestration needed.  Use
+    this for accelerator batches of LARGE instances; use
+    `batched_qp_solver`/`_mixed` for small-instance batches (which the
+    executor dispatch sends to the host anyway)."""
+    solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
+
+    @jax.jit
+    def solve(P, q, G, h, *ab):
+        args = (P, q, G, h) + ab
+        return jax.lax.map(lambda a: solve_one(*a), args)
+
+    return solve
+
+
 def batched_qp_solver(dims, kktsolver=None, options=None, mesh=None,
                       with_eq=False):
     """vmap (and optionally pjit over mesh axis 'batch') of

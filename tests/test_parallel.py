@@ -483,3 +483,35 @@ def test_sharded_kkt_distributed_factor_end_to_end():
     ref = coneqp(Pm, q, G, h, dims)
     np.testing.assert_allclose(np.asarray(sol["x"]),
                                np.asarray(ref["x"]), atol=1e-6)
+
+
+def test_batched_qp_solver_seq_matches_vmap():
+    """lax.map batch driver (per-instance trip counts, real cond
+    fallback) agrees with the vmapped f64 path."""
+    from kvxopt_tpu.parallel import batched_qp_solver_seq, batched_qp_solver
+    B, n, m = 3, 12, 20
+    rng = np.random.default_rng(11)
+    Ps = np.zeros((B, n, n)); qs = np.zeros((B, n))
+    Gs = np.zeros((B, m, n)); hs = np.zeros((B, m))
+    for i in range(B):
+        M = rng.standard_normal((n, n))
+        Ps[i] = M @ M.T + n * np.eye(n)
+        qs[i] = rng.standard_normal(n)
+        Gs[i] = rng.standard_normal((m, n))
+        hs[i] = Gs[i] @ rng.standard_normal(n) + rng.uniform(0.5, 1.5, m)
+    seq = batched_qp_solver_seq(ConeDims(l=m), "chol2")
+    ref = batched_qp_solver(ConeDims(l=m), "chol2")
+    a = tuple(jnp.asarray(x) for x in (Ps, qs, Gs, hs))
+    o1 = seq(*a)
+    o2 = ref(*a)
+    assert (np.asarray(o1[5]) == 1).all()
+    np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]),
+                               atol=1e-7)
+
+    # the mixed strategy with its per-instance f64 fallback traces under
+    # lax.map (cond stays a real cond there)
+    seqm = batched_qp_solver_seq(ConeDims(l=m), "chol2_mixed")
+    om = seqm(*a)
+    assert (np.asarray(om[5]) == 1).all()
+    np.testing.assert_allclose(np.asarray(om[0]), np.asarray(o2[0]),
+                               atol=1e-6)
