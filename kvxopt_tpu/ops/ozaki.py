@@ -107,6 +107,32 @@ def matvec(Aslices, Ascale, x, nbits: int):
     return acc * Ascale[..., 0] * xscale
 
 
+def ata(A, nbits: int | None = None, target_bits: int = 40):
+    """Exact-split Gram matrix: A' A to ~`target_bits` of f64 accuracy
+    from f32/MXU matmuls (the GEMM counterpart of `matvec`).
+
+    Used by the mixed-precision FACTOR refinement (kkt._mixed_core):
+    the factor-residual E = K - L0 L0' only needs ~eps32^2 relative
+    accuracy, so 40 bits (~1e-12) suffice and the triangular-truncated
+    slice-product scheme (pairs with i+j < nslices) keeps the f32 GEMM
+    count at nslices(nslices+1)/2.
+    """
+    A = jnp.asarray(A, jnp.float64)
+    k = A.shape[-2]
+    nbits = nbits or default_nbits(k)
+    ns = default_nslices(nbits, target_bits)
+    S, scale = split_fp(jnp.swapaxes(A, -1, -2), ns, nbits)
+    # S: (ns, ..., n, k) slices of A^T, scale: (..., n, 1)
+    out = None
+    for i in range(ns):
+        for j in range(ns - i):
+            P = jnp.matmul(S[i], jnp.swapaxes(S[j], -1, -2),
+                           preferred_element_type=jnp.float32)
+            term = P.astype(jnp.float64)
+            out = term if out is None else out + term
+    return out * scale * jnp.swapaxes(scale, -1, -2)
+
+
 class OzakiOperator:
     """Precomputed exact-split form of a dense f64 matrix for repeated
     y = A @ x and z = A' @ w products at f64 accuracy on the MXU.
