@@ -67,6 +67,15 @@ compute_dtype = jnp.float32
 # set KVXOPT_TPU_OZAKI=1 (or config.ozaki_refine = True) to enable.
 ozaki_refine = os.environ.get("KVXOPT_TPU_OZAKI", "0") == "1"
 
+# Mixed-precision FACTOR refinement: a one-shot exact-split-Gram
+# correction of the f32 Cholesky factor (kkt._mixed_core) that extends
+# the fast-contraction regime by ~1.5 decades of conditioning and
+# collapses the PCG refinement step count (~25 -> ~4 at cond 1e7 —
+# BENCHNOTES r4).  Read at trace time inside the mixed KKT strategies;
+# like ozaki_refine it is snapshotted into solver Options so cached
+# programs key on it.
+factor_refine = os.environ.get("KVXOPT_TPU_FACREF", "1") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Executor dispatch: accelerator for MXU-scale work, host XLA for the rest.

@@ -155,7 +155,7 @@ def _kkt_chol2(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
 # ---------------------------------------------------------------------------
 
 def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
-                rtol_factor=500.0, fallback=True):
+                rtol_factor=500.0, fallback=True, keq64_build=None):
     """Adaptive mixed-precision SPD solver core: equilibrated float32
     Cholesky (the TPU MXU fast path) + float64 iterative refinement
     against the *operator* kmul, with an automatic float64-factor
@@ -179,10 +179,42 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
     L32 = _chol_spd(Keq32, 0.0)
     dsc = dsc32.astype(dtype)
 
+    D32 = L0m = None
+    if keq64_build is not None:
+        # One-shot FACTOR refinement (BENCHNOTES r4): with
+        # E = Keq - L0 L0' computed to ~1e-12 (exact-split MXU Gram,
+        # ops/ozaki.ata), the lower-triangular correction
+        # D = L0 · Φ(L0^{-1} E L0^{-T}) (Φ = strict lower + half diag)
+        # makes (L0+D)(L0+D)' ≈ Keq to O(eps32²).  The refined
+        # preconditioner is applied FIRST-ORDER around the base solve
+        # S0 = (L0 L0')^{-1}:
+        #   (MM')^{-1} r ≈ u − S0(D·L0'u + L0·D'u),  u = S0 r
+        # — all-f32 ops, and S0 reuses the fast factor representation.
+        # This extends the fast-contraction regime by ~1.5 decades of
+        # conditioning, collapsing the PCG refinement step count at
+        # cond ~1e7.  Setup: one split Gram + two n-RHS f32 triangular
+        # solves + one f32 GEMM per factorization.
+        Keq64 = keq64_build(dsc)
+        from .ops.ozaki import ata as _ata
+        L0m = L32[0] if isinstance(L32, tuple) else L32
+        L0_64 = L0m.astype(dtype)
+        E32 = (Keq64 - _ata(jnp.swapaxes(L0_64, -1, -2))).astype(
+            K32.dtype)
+        F1 = solve_triangular(L0m, E32, lower=True)
+        F = solve_triangular(L0m, F1.T, lower=True).T
+        Phi = jnp.tril(F, -1) + 0.5 * jnp.diag(jnp.diagonal(F))
+        D32 = L0m @ Phi
+
     def m_apply(r):
         # approximate K^{-1} r through the equilibrated f32 factor
-        return dsc * _chol_solve(L32, (dsc * r).astype(
-            K32.dtype)).astype(dtype)
+        # (with the optional first-order refined-factor expansion)
+        r32 = (dsc * r).astype(K32.dtype)
+        if D32 is None:
+            return dsc * _chol_solve(L32, r32).astype(dtype)
+        u = _chol_solve(L32, r32)
+        w = D32 @ (L0m.T @ u) + L0m @ (D32.T @ u)
+        z = u - _chol_solve(L32, w)
+        return dsc * z.astype(dtype)
 
     if fallback:
         # probe the actual refinement contraction rate
@@ -275,8 +307,12 @@ def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
         kmul = OzakiOperator(K).mv
     else:
         kmul = lambda x: K @ x
+    keq = None
+    if config.factor_refine:
+        keq = lambda dsc: K * dsc[:, None] * dsc[None, :]
     return _mixed_core(kmul, K.astype(cdt), K.dtype,
-                       lambda: K, max_refine, rtol_factor, fallback)
+                       lambda: K, max_refine, rtol_factor, fallback,
+                       keq64_build=keq)
 
 
 def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
@@ -336,8 +372,21 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
             K = K + reg * jnp.eye(n, dtype=G.dtype)
         return K
 
+    keq64_build = None
+    if config.factor_refine:
+        from .ops.ozaki import ata as _ata
+
+        def keq64_build(dsc):
+            # equilibrated f64 K at ~1e-12 accuracy WITHOUT emulated-f64
+            # matmuls: the Gram rides the MXU as an exact-split product,
+            # the rest is elementwise f64 (cheap even emulated)
+            K = _keff(P, H, n, G.dtype) + _ata(Gs)
+            if reg:
+                K = K + reg * jnp.eye(n, dtype=G.dtype)
+            return K * dsc[:, None] * dsc[None, :]
+
     ksolve = _mixed_core(kmul, Kx32, G.dtype, k64_build,
-                         fallback=fallback)
+                         fallback=fallback, keq64_build=keq64_build)
     if p:
         KiAt = jax.vmap(ksolve, in_axes=1, out_axes=1)(A.T)
         S = A @ KiAt

@@ -62,6 +62,10 @@ class Options(NamedTuple):
     kktreg: float = 0.0
     sscaling: str = "eigh"  # s-block NT construction: 'eigh' (fast TPU
                             # compile) or 'svd' (full accuracy; ROADMAP 11)
+    facref: object = None   # snapshot of config.factor_refine (the
+                            # one-shot f32-factor correction in the
+                            # mixed KKT strategies): part of the Options
+                            # tuple so cached programs key on it
     ozaki: object = None    # exact-split refinement matvecs for the
                             # mixed KKT strategies: None = follow
                             # config.ozaki_refine (snapshotted at
@@ -94,6 +98,7 @@ def _resolve_options(options):
         kktreg=float(merged.get("kktreg", 0.0) or 0.0),
         sscaling=str(merged.get("sscaling", "eigh")),
         ozaki=bool(merged.get("ozaki", config.ozaki_refine)),
+        facref=bool(merged.get("facref", config.factor_refine)),
     )
     dtype = merged.get("dtype", None) or config.default_dtype
     return o, jnp.dtype(dtype), merged

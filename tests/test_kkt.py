@@ -102,3 +102,37 @@ def test_kkt_with_nonlinear_block():
         solve = factor(W, H=H, Df=Df)
         Geff = jnp.concatenate([Df, G], axis=0)
         check_residual(edims, Geff, A, H, W, solve)
+
+
+def test_factor_refinement_extends_conditioning_range(monkeypatch):
+    """The one-shot factor correction (BENCHNOTES r4) lets the
+    no-fallback mixed core solve cond~2e7 systems to f64 accuracy where
+    the plain f32 preconditioner stalls."""
+    from kvxopt_tpu import config as cfg
+    from kvxopt_tpu.kkt import _mixed_core
+
+    rng = np.random.default_rng(5)
+    n = 192
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.logspace(0, -7.2, n)
+    K = (Q * d) @ Q.T
+    K = 0.5 * (K + K.T)
+    b = rng.standard_normal(n)
+    x_true = np.linalg.solve(K, b)
+    K64 = jnp.asarray(K)
+    kmul = lambda x: K64 @ x
+
+    def run(facref):
+        keq = (lambda dsc: K64 * dsc[:, None] * dsc[None, :]) \
+            if facref else None
+        solve = _mixed_core(kmul, K64.astype(jnp.float32), jnp.float64,
+                            lambda: K64, max_refine=4, fallback=False,
+                            keq64_build=keq)
+        x = np.asarray(solve(jnp.asarray(b)))
+        return np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+
+    err_ref = run(True)
+    err_plain = run(False)
+    assert err_ref < 2e-6, err_ref
+    # the plain path needs far more than 4 steps at this conditioning
+    assert err_ref < err_plain * 1e-2, (err_ref, err_plain)
