@@ -39,7 +39,7 @@ STRATEGIES = ("ldl", "ldl2", "chol", "chol2", "qr", "chol2_mixed",
 
 
 def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
-                    reg: float = 0.0, ozaki=None):
+                    reg: float = 0.0, ozaki=None, facref=None):
     """ozaki: None = follow config.ozaki_refine; True/False force the
     exact-split refinement matvec for the mixed strategies.  Measured on
     chip (BENCHNOTES r4): the split matvec wins ~2x for BATCHED mixed
@@ -57,7 +57,8 @@ def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
     edims = dims.with_extra_l(mnl) if mnl else dims
     fn = {"chol2": _kkt_chol2, "chol": _kkt_chol, "qr": _kkt_qr,
           "ldl": _kkt_ldl, "ldl2": _kkt_ldl2,
-          "chol2_mixed": partial(_kkt_chol2_mixed, ozaki=ozaki),
+          "chol2_mixed": partial(_kkt_chol2_mixed, ozaki=ozaki,
+                                 facref=facref),
           # chol2_mixed without the per-instance f64-factor fallback:
           # the vmap-friendly variant (under vmap lax.cond lowers to a
           # select, so the fallback branch would execute — and pay the
@@ -66,7 +67,8 @@ def make_kkt_solver(name, dims: ConeDims, G, A=None, P=None, mnl: int = 0,
           # (parallel/batch.py batched_qp_solver_mixed).
           "chol2_mixed_nofb": partial(_kkt_chol2_mixed,
                                       fallback=False,
-                                      ozaki=ozaki)}[name]
+                                      ozaki=ozaki,
+                                      facref=facref)}[name]
     return partial(fn, dims, edims, G, A, P, mnl, reg)
 
 
@@ -316,7 +318,7 @@ def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
 
 
 def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
-                     fallback=True, ozaki=None):
+                     fallback=True, ozaki=None, facref=None):
     """Condensed normal equations with the adaptive mixed-precision SPD
     solver.  The TPU performance configuration at the reference's 1e-7
     tolerances (coneprog.py:440-454): the O(N n^2) normal-equations
@@ -372,8 +374,10 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
             K = K + reg * jnp.eye(n, dtype=G.dtype)
         return K
 
+    if facref is None:
+        facref = config.factor_refine
     keq64_build = None
-    if config.factor_refine:
+    if facref:
         from .ops.ozaki import ata as _ata
 
         def keq64_build(dsc):

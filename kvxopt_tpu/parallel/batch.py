@@ -59,7 +59,8 @@ def make_qp_solver(dims, kktsolver=None, options=None, with_eq=False):
             A = jnp.asarray(A, dtype)
             b = jnp.asarray(b, dtype)
         factor = kkt.make_kkt_solver(kktsolver, dims, G, A, P,
-                                     reg=o.kktreg, ozaki=o.ozaki)
+                                     reg=o.kktreg, ozaki=o.ozaki,
+                                     facref=o.facref)
         gmv = lambda v, trans=False: (G.T @ v if trans else G @ v)
         amv = lambda v, trans=False: (A.T @ v if trans else A @ v)
         pmv = lambda v: P @ v
@@ -87,7 +88,8 @@ def make_lp_solver(dims, kktsolver=None, options=None):
             A = jnp.zeros((0, c.shape[0]), dtype)
             b = jnp.zeros((0,), dtype)
         factor = kkt.make_kkt_solver(kktsolver, dims, G, A, None,
-                                     reg=o.kktreg, ozaki=o.ozaki)
+                                     reg=o.kktreg, ozaki=o.ozaki,
+                                     facref=o.facref)
         gmv = lambda v, trans=False: (G.T @ v if trans else G @ v)
         amv = lambda v, trans=False: (A.T @ v if trans else A @ v)
         return _conelp_core(c, G, h, A, b, dims, o, factor, gmv, amv,
@@ -124,9 +126,20 @@ def _dispatched_batch(jitted, nargs_for_n, kktsolver=None):
     return solve
 
 
+def _no_facref(options):
+    """Force the factor refinement OFF for VMAPPED drivers: its setup
+    (two n-RHS triangular solves per factorization) runs through XLA's
+    slow TPU triangular-solve expander for every lane — measured 2-5x
+    slower than ozaki-only on the B=16 n=256 two-pass workload
+    (BENCHNOTES r4).  Explicit facref=True still wins."""
+    o = options if isinstance(options, Options) else Options(
+        **(options or {}))
+    return o._replace(facref=False) if o.facref is None else o
+
+
 def batched_lp_solver(dims, kktsolver=None, options=None, mesh=None):
     """vmap (optionally pjit over mesh axis 'batch') of make_lp_solver."""
-    solve_one = make_lp_solver(dims, kktsolver, options)
+    solve_one = make_lp_solver(dims, kktsolver, _no_facref(options))
     vsolve = jax.vmap(solve_one)
     if mesh is None:
         return _dispatched_batch(jax.jit(vsolve), 0, kktsolver)
@@ -228,7 +241,8 @@ def batched_qp_solver(dims, kktsolver=None, options=None, mesh=None,
                       with_eq=False):
     """vmap (and optionally pjit over mesh axis 'batch') of
     make_qp_solver: solve(P[B], q[B], G[B], h[B]) -> batched state."""
-    solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
+    solve_one = make_qp_solver(dims, kktsolver, _no_facref(options),
+                               with_eq)
     vsolve = jax.vmap(solve_one)
     if mesh is None:
         return _dispatched_batch(jax.jit(vsolve), 1, kktsolver)
