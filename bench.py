@@ -348,7 +348,7 @@ def main():
         scaling = kernel_scaling()
     except Exception:
         scaling = {}
-    print(json.dumps({
+    full = {
         "metric": f"batched KKT factorize+solve throughput (n={N}, B={B})",
         "value": round(tpu_thr, 2),
         "unit": "factorizations/s",
@@ -357,7 +357,27 @@ def main():
         "ipm": ipm,
         "ipm_large": large,
         "configs": configs,
-    }))
+    }
+    # Verbose detail goes to a file + an early stdout line; the driver
+    # only keeps a ~2 KB tail of stdout, so the LAST line must be a
+    # compact (<1.5 KB) machine-readable summary (VERDICT r4 item 2).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    compact = {
+        "metric": f"batched KKT factor+solve/s (n={N} B={B})",
+        "value": round(tpu_thr, 2),
+        "unit": "factorizations/s",
+        "vs_baseline": round(tpu_thr / cpu_thr, 2),
+        "kernel_tflops": scaling,
+        "ipm_vs_cpu": ipm.get("vs_cpu"),
+        "ipm_large_vs_cpu": large.get("vs_cpu"),
+        "configs_vs_reference": {
+            k: v.get("vs_reference", v.get("vs_cpu_sparse"))
+            for k, v in configs.items()},
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

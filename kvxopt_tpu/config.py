@@ -26,13 +26,16 @@ if not os.environ.get("KVXOPT_TPU_NO_X64"):
 # Keep the host XLA backend registered alongside the TPU backend: the
 # solver front ends route sub-MXU-scale problems (tiny single-instance
 # IPMs whose f64 programs are emulation- and dispatch-bound on TPU) to
-# the host executor — see `dispatch_device`.  The platform list is only
-# widened when the environment pinned a single non-CPU platform and the
-# backends have not been initialized yet; explicit user settings win.
+# the host executor — see `dispatch_device`.  This widens an explicitly
+# pinned single-platform setting (e.g. JAX_PLATFORMS=tpu) as a side
+# effect of importing the library; set KVXOPT_TPU_HOST_DISPATCH=0 to
+# opt out and keep the pinned platform list untouched (host dispatch is
+# then disabled for this process).
 try:
-    _plat = jax.config.jax_platforms
-    if _plat and "cpu" not in _plat.split(","):
-        jax.config.update("jax_platforms", _plat + ",cpu")
+    if os.environ.get("KVXOPT_TPU_HOST_DISPATCH", "1") != "0":
+        _plat = jax.config.jax_platforms
+        if _plat and "cpu" not in _plat.split(","):
+            jax.config.update("jax_platforms", _plat + ",cpu")
 except Exception:  # never make the host path a requirement
     pass
 

@@ -297,20 +297,28 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
 
 
 def mixed_spd_solver(K, reg=0.0, cdt=None, max_refine=30,
-                     rtol_factor=50.0, fallback=True):
+                     rtol_factor=50.0, fallback=True, ozaki=None,
+                     facref=None):
     """Dense-matrix convenience wrapper around `_mixed_core` (used for
-    Schur complements and standalone SPD solves)."""
+    Schur complements and standalone SPD solves).  `ozaki`/`facref`
+    default to the config flags but callers that thread per-strategy
+    overrides (e.g. `_kkt_chol2_mixed`) pass them explicitly so cached
+    programs key on the override, not on mutable config state."""
     from . import config
     cdt = cdt or config.compute_dtype
     if reg:
         K = K + reg * jnp.eye(K.shape[0], dtype=K.dtype)
-    if config.ozaki_refine:
+    if ozaki is None:
+        ozaki = config.ozaki_refine
+    if facref is None:
+        facref = config.factor_refine
+    if ozaki:
         from .ops.ozaki import OzakiOperator
         kmul = OzakiOperator(K).mv
     else:
         kmul = lambda x: K @ x
     keq = None
-    if config.factor_refine:
+    if facref:
         keq = lambda dsc: K * dsc[:, None] * dsc[None, :]
     return _mixed_core(kmul, K.astype(cdt), K.dtype,
                        lambda: K, max_refine, rtol_factor, fallback,
@@ -394,7 +402,8 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
     if p:
         KiAt = jax.vmap(ksolve, in_axes=1, out_axes=1)(A.T)
         S = A @ KiAt
-        ssolve = mixed_spd_solver(S, reg, fallback=fallback)
+        ssolve = mixed_spd_solver(S, reg, fallback=fallback,
+                                  ozaki=ozaki, facref=facref)
 
     def solve(bx, by, bz):
         bzs = cones.scale(edims, W, bz, trans=True, inverse=True)

@@ -376,8 +376,14 @@ def batched_cholesky_ls(A, interpret=False):
     # n=1024 measured neutral vs G=8 (the strips are DMA-overlapped
     # either way — BENCHNOTES r4), so 8 stays the cap; the VMEM budget
     # matters for large npad where the old fixed choice could overflow.
-    G = next(g for g in (8, 4, 2, 1)
-             if B % g == 0 and 16 * g * npad * BS <= 64 * 1024 * 1024)
+    G = next((g for g in (8, 4, 2, 1)
+              if B % g == 0 and 16 * g * npad * BS <= 64 * 1024 * 1024),
+             None)
+    if G is None:
+        raise ValueError(
+            f"batched_cholesky_ls: padded size n={npad} too large for "
+            f"the VMEM strip budget even ungrouped (needs 16*{npad}*{BS}"
+            f" <= 64MB, i.e. n <= {64 * 1024 * 1024 // (16 * BS)})")
     kernel = functools.partial(_chol_ls_kernel, nb, B, G)
     L, Dinv = pl.pallas_call(
         kernel,

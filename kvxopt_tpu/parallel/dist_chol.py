@@ -97,72 +97,80 @@ def dist_chol_factory(mesh: Mesh, axis, n: int, nb: int = 256):
     spec_k = P(axis, None, None)
     spec_b = P()
 
+    row = np.arange(n)[:, None]
+    colr = np.arange(nb)[None, :]
+    jl = np.arange(nloc)
+
     def _owner_col(Ll, dev, k):
-        """Broadcast block-column k from its owner: one masked psum."""
-        owner = k % ndev
-        lk = k // ndev
-        colk = jnp.where(dev == owner, Ll[lk], jnp.zeros_like(Ll[lk]))
+        """Broadcast block-column k from its owner: one masked psum.
+        k is a traced loop index (the factorization loop is a
+        lax.fori_loop so compile time is O(1) in nblk, not O(nblk) —
+        an n=16384 factor has 64+ block steps)."""
+        owner = jax.lax.rem(k, ndev)
+        lk = jax.lax.div(k, ndev)
+        colk = jax.lax.dynamic_index_in_dim(Ll, lk, keepdims=False)
+        colk = jnp.where(dev == owner, colk, jnp.zeros_like(colk))
         return jax.lax.psum(colk, axis)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec_k,),
              out_specs=spec_k)
     def factor(Kl):
         dev = _device_index(mesh, axis)
-        Ll = Kl
-        for k in range(nblk):
+
+        def step(k, Ll):
             colk = _owner_col(Ll, dev, k)
-            dk = colk[k * nb:(k + 1) * nb]
+            dk = jax.lax.dynamic_slice(colk, (k * nb, 0), (nb, nb))
             Lkk = jnp.linalg.cholesky(dk)
             # panel P = [Lkk; L[k+1:, k]] (redundant on every device)
             pan = solve_triangular(Lkk, colk.T, lower=True).T
-            row = jnp.arange(n)[:, None]
-            colr = jnp.arange(nb)[None, :]
             tri = (row - k * nb) >= colr          # lower-tri incl. diag
             pan = jnp.where((row >= k * nb) & tri, pan, 0.0)
             # owner stores the finished column
-            owner, lk = k % ndev, k // ndev
-            Ll = Ll.at[lk].set(jnp.where(dev == owner, pan, Ll[lk]))
-            # trailing update on owned columns j > k:
-            #   K[:, j] -= pan_below @ pan[j-block]'
+            owner = jax.lax.rem(k, ndev)
+            lk = jax.lax.div(k, ndev)
+            old = jax.lax.dynamic_index_in_dim(Ll, lk, keepdims=False)
+            Ll = jax.lax.dynamic_update_index_in_dim(
+                Ll, jnp.where(dev == owner, pan, old), lk, 0)
+            # trailing update on owned columns j > k, all local columns
+            # at once: K[:, j] -= pan_below @ pan[j-block]'
             below = jnp.where(row >= (k + 1) * nb, pan, 0.0)
-            for l in range(nloc):
-                jglob = l * ndev + dev            # traced
-                pj = jax.lax.dynamic_slice(
-                    pan, (jglob.astype(jnp.int32) * nb,
-                          jnp.int32(0)), (nb, nb))
-                upd = below @ pj.T
-                Ll = Ll.at[l].add(
-                    jnp.where(jglob > k, -upd, jnp.zeros_like(upd)))
-        return Ll
+            jglob = jl * ndev + dev               # (nloc,) traced
+            pjs = jnp.take(pan.reshape(nblk, nb, nb), jglob, axis=0)
+            upd = jnp.einsum("ik,ljk->lij", below, pjs)
+            return Ll - jnp.where((jglob > k)[:, None, None], upd, 0.0)
+
+        return jax.lax.fori_loop(0, nblk, step, Kl)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec_k, spec_b),
              out_specs=spec_b)
     def solve(Ll, b):
         dev = _device_index(mesh, axis)
+
         # forward: L y = b
-        y = b
-        cols = []
-        for k in range(nblk):
+        def fstep(k, y):
             colk = _owner_col(Ll, dev, k)
-            cols.append(colk)
-            Lkk = colk[k * nb:(k + 1) * nb]
-            yk = solve_triangular(Lkk, y[k * nb:(k + 1) * nb],
-                                  lower=True)
-            y = y.at[k * nb:(k + 1) * nb].set(yk)
-            if k + 1 < nblk:    # zero-size matmuls fail under shard_map
-                y = y.at[(k + 1) * nb:].add(
-                    -colk[(k + 1) * nb:] @ yk)
-        # backward: L' x = y (reuse the broadcast columns)
-        x = y
-        for k in reversed(range(nblk)):
-            colk = cols[k]
-            Lkk = colk[k * nb:(k + 1) * nb]
-            rhs = x[k * nb:(k + 1) * nb]
-            if k + 1 < nblk:
-                rhs = rhs - colk[(k + 1) * nb:].T @ x[(k + 1) * nb:]
+            Lkk = jax.lax.dynamic_slice(colk, (k * nb, 0), (nb, nb))
+            yk = solve_triangular(
+                Lkk, jax.lax.dynamic_slice(y, (k * nb,), (nb,)),
+                lower=True)
+            y = jax.lax.dynamic_update_slice(y, yk, (k * nb,))
+            below = jnp.where(row >= (k + 1) * nb, colk, 0.0)
+            return y - below @ yk
+
+        y = jax.lax.fori_loop(0, nblk, fstep, b)
+
+        # backward: L' x = y (one more broadcast per block column)
+        def bstep(i, x):
+            k = nblk - 1 - i
+            colk = _owner_col(Ll, dev, k)
+            Lkk = jax.lax.dynamic_slice(colk, (k * nb, 0), (nb, nb))
+            below = jnp.where(row >= (k + 1) * nb, colk, 0.0)
+            rhs = (jax.lax.dynamic_slice(x, (k * nb,), (nb,))
+                   - below.T @ x)
             xk = solve_triangular(Lkk.T, rhs, lower=False)
-            x = x.at[k * nb:(k + 1) * nb].set(xk)
-        return x
+            return jax.lax.dynamic_update_slice(x, xk, (k * nb,))
+
+        return jax.lax.fori_loop(0, nblk, bstep, y)
 
     return factor, solve
 

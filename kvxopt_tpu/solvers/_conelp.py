@@ -151,7 +151,7 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
             _cached_lp_solver_full, _cached_lp_solver_split, _FUSED_BAD,
             _SPLIT_BAD, _compile_failure_is_permanent, _host_retry_ctx,
             _accel_watchdog_s, _run_with_watchdog, _ambient_device)
-        key = (dims, kktsolver, o)
+        key = ("lp", dims, kktsolver, o)
 
         def run_fused():
             solve_fn = _cached_lp_solver_full(dims, kktsolver, o)
@@ -217,7 +217,8 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
         Ga = cones.sym_from_lower_cols(dims, Ga)
     if isinstance(kktsolver, str):
         factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, None,
-                                     reg=o.kktreg, ozaki=o.ozaki)
+                                     reg=o.kktreg, ozaki=o.ozaki,
+                                     facref=o.facref)
     else:
         factor = kktsolver
     gmv = G if G_is_op else (lambda x, trans=False:

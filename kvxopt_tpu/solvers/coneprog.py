@@ -390,7 +390,9 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
     o = o.resolve_refinement(dims)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
             and initvals is None and not (custom_x or custom_y)):
-        key = (dims, kktsolver, o)
+        # solver-tagged so a permanent LP fused-compile failure for the
+        # same (dims, kktsolver, o) does not disable the QP program
+        key = ("qp", dims, kktsolver, o)
         Pz = Pa if Pa is not None else jnp.zeros((n, n), dtype)
 
         def _result_from_pack(pack):
@@ -466,7 +468,8 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
         Ga = cones.sym_from_lower_cols(dims, Ga)
     if isinstance(kktsolver, str):
         factor = kkt.make_kkt_solver(kktsolver, dims, Ga, Aa, Pa,
-                                     reg=o.kktreg, ozaki=o.ozaki)
+                                     reg=o.kktreg, ozaki=o.ozaki,
+                                     facref=o.facref)
     else:
         factor = kktsolver
 

@@ -1,8 +1,11 @@
 """Batched and sharded solves on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kvxopt_tpu.cones import ConeDims
@@ -412,7 +415,7 @@ def test_dist_cholesky_identity():
     from kvxopt_tpu.parallel import dist_cholesky, cyclic_unpack
 
     rng = np.random.default_rng(11)
-    n, nb = 256, 32
+    n, nb = 256, 16   # npad/(nb*ndev) = 2: spans TWO block-column cycles
     M = rng.standard_normal((n, n))
     K = M @ M.T + n * np.eye(n)
     b = rng.standard_normal(n)
@@ -515,3 +518,40 @@ def test_batched_qp_solver_seq_matches_vmap():
     assert (np.asarray(om[5]) == 1).all()
     np.testing.assert_allclose(np.asarray(om[0]), np.asarray(o2[0]),
                                atol=1e-6)
+
+
+@pytest.mark.skipif(os.environ.get("KVX_DRYRUN_SCALE", "0") != "1",
+                    reason="full-scale distributed-factor IPM: minutes on "
+                           "8 virtual CPU devices; set KVX_DRYRUN_SCALE=1")
+def test_distributed_factor_ipm_at_scale():
+    """The round-4 dryrun step-5 scale test (n=2048 block-cyclic
+    distributed Cholesky + a full n=2048/m=3072 coneqp through the
+    distributed factor), moved out of the driver gate per VERDICT r4 #1.
+    The gate keeps the same program structure at n=256."""
+    from jax.sharding import Mesh
+    from kvxopt_tpu.parallel import (dist_cholesky, cyclic_unpack,
+                                     sharded_kkt_solver)
+    from kvxopt_tpu.solvers import coneqp
+
+    ndev = 8
+    hdevs = np.array(jax.devices()[:ndev]).reshape(2, ndev // 2)
+    hmesh = Mesh(hdevs, ("dcn", "ici"))
+    nkkt = 2048
+    nb = nkkt // (2 * ndev)
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((nkkt, nkkt)) * (1.0 / np.sqrt(nkkt))
+    K = A @ A.T + np.eye(nkkt)
+    Lst, _ = dist_cholesky(hmesh, ("dcn", "ici"), jnp.asarray(K), nb)
+    L = np.asarray(cyclic_unpack(Lst, nb, ndev))
+    assert np.allclose(L @ L.T, K, atol=1e-8 * nkkt)
+    m = nkkt + nkkt // 2
+    G = rng.standard_normal((m, nkkt)) * (1.0 / np.sqrt(nkkt))
+    h = G @ rng.standard_normal(nkkt) + rng.uniform(0.5, 1.5, m)
+    q = rng.standard_normal(nkkt)
+    Pm = np.eye(nkkt) * 2.0
+    dims = ConeDims(l=m)
+    fac = sharded_kkt_solver(hmesh, ("dcn", "ici"), dims,
+                             jnp.asarray(G), Pmat=jnp.asarray(Pm),
+                             dist_nb=nb)
+    sol = coneqp(Pm, q, G, h, dims, kktsolver=fac)
+    assert sol["status"] == "optimal"
