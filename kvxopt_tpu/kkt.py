@@ -202,8 +202,17 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
         L0_64 = L0m.astype(dtype)
         E32 = (Keq64 - _ata(jnp.swapaxes(L0_64, -1, -2))).astype(
             K32.dtype)
-        F1 = solve_triangular(L0m, E32, lower=True)
-        F = solve_triangular(L0m, F1.T, lower=True).T
+        if isinstance(L32, tuple):
+            # single-sweep solves that collapse under vmap into one
+            # Pallas n-RHS substitution kernel (ops/ipm_chol.py) —
+            # XLA's per-lane expander here is what forced facref off
+            # for the vmapped batch drivers (VERDICT r4 #4)
+            from .ops.ipm_chol import tri_lower_solve
+            F1 = tri_lower_solve(L0m, L32[1], E32)
+            F = tri_lower_solve(L0m, L32[1], F1.T).T
+        else:
+            F1 = solve_triangular(L0m, E32, lower=True)
+            F = solve_triangular(L0m, F1.T, lower=True).T
         Phi = jnp.tril(F, -1) + 0.5 * jnp.diag(jnp.diagonal(F))
         D32 = L0m @ Phi
 
@@ -382,7 +391,13 @@ def _kkt_chol2_mixed(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None,
             K = K + reg * jnp.eye(n, dtype=G.dtype)
         return K
 
-    if facref is None:
+    if facref == "vmap":
+        # vmapped-driver sentinel (parallel/batch.py _vmap_facref):
+        # refine exactly when the batched trace will collapse the
+        # setup's two n-RHS triangular solves into the Pallas kernel
+        from .ops.ipm_chol import _pallas_ok
+        facref = config.factor_refine and _pallas_ok(n, cdt)
+    elif facref is None:
         facref = config.factor_refine
     keq64_build = None
     if facref:

@@ -414,24 +414,10 @@ def batched_cholesky_ls(A, interpret=False):
     return jnp.tril(L), Dinv
 
 
-def _solve_kernel(nb, B, k, l_hbm, dinv_hbm, b_hbm, x_hbm, fbuf, bbuf,
-                  dbuf, zbuf, bsem, dsem):
-    """Fused forward+backward substitution for L L' X = B using the
-    factor kernel's per-panel diagonal-block inverses: every block step
-    is one band DMA + one batched MXU matmul + one (B,k,128) @ inverse
-    matmul — no per-solve re-inversion (XLA's triangular_solve expander
-    re-inverts diagonal blocks on every call).
-
-    RHS layout is (B,k,n) so each 128-block of the solution vector is a
-    lane-oriented (B,k,128) tile; contraction against row/column bands
-    of L happens via dot_general without any transposes."""
+def _fwd_sweep(nb, l_hbm, dinv_hbm, fbuf, dbuf, zbuf, bsem, dsem):
+    """Forward substitution z <- L^{-1} z in place on the (B,k,n)
+    lane-oriented zbuf: z_i = Yii (b_i - sum_{j<i} L_ij z_j)."""
     n = nb * BS
-
-    zin = pltpu.make_async_copy(b_hbm, zbuf, bsem)
-    zin.start()
-    zin.wait()
-
-    # ---- forward sweep: z_i = Yii (b_i - sum_{j<i} L_ij z_j) --------
     for i in range(nb):
         bi = i * BS
         dcp = pltpu.make_async_copy(dinv_hbm.at[jnp.int32(i)], dbuf,
@@ -456,7 +442,11 @@ def _solve_kernel(nb, B, k, l_hbm, dinv_hbm, b_hbm, x_hbm, fbuf, bbuf,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
-    # ---- backward sweep: x_i = Yii' (z_i - sum_{j>i} L_ji' x_j) -----
+
+def _bwd_sweep(nb, l_hbm, dinv_hbm, bbuf, dbuf, zbuf, bsem, dsem):
+    """Backward substitution z <- L^{-T} z in place on the (B,k,n)
+    zbuf: x_i = Yii' (z_i - sum_{j>i} L_ji' x_j)."""
+    n = nb * BS
     for i in range(nb - 1, -1, -1):
         bi = i * BS
         hi = bi + BS
@@ -483,6 +473,42 @@ def _solve_kernel(nb, B, k, l_hbm, dinv_hbm, b_hbm, x_hbm, fbuf, bbuf,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
+
+def _solve_kernel(nb, B, k, l_hbm, dinv_hbm, b_hbm, x_hbm, fbuf, bbuf,
+                  dbuf, zbuf, bsem, dsem):
+    """Fused forward+backward substitution for L L' X = B using the
+    factor kernel's per-panel diagonal-block inverses: every block step
+    is one band DMA + one batched MXU matmul + one (B,k,128) @ inverse
+    matmul — no per-solve re-inversion (XLA's triangular_solve expander
+    re-inverts diagonal blocks on every call).
+
+    RHS layout is (B,k,n) so each 128-block of the solution vector is a
+    lane-oriented (B,k,128) tile; contraction against row/column bands
+    of L happens via dot_general without any transposes."""
+    zin = pltpu.make_async_copy(b_hbm, zbuf, bsem)
+    zin.start()
+    zin.wait()
+    _fwd_sweep(nb, l_hbm, dinv_hbm, fbuf, dbuf, zbuf, bsem, dsem)
+    _bwd_sweep(nb, l_hbm, dinv_hbm, bbuf, dbuf, zbuf, bsem, dsem)
+    zout = pltpu.make_async_copy(zbuf, x_hbm, bsem)
+    zout.start()
+    zout.wait()
+
+
+def _tri_kernel(nb, B, k, trans, l_hbm, dinv_hbm, b_hbm, x_hbm, tbuf,
+                dbuf, zbuf, bsem, dsem):
+    """Single-sweep triangular solve: L X = B (trans=False) or
+    L' X = B (trans=True), same band-DMA + MXU-matmul structure as
+    `_solve_kernel` but only one sweep — the n-RHS building block for
+    factor refinement (kkt._mixed_core) where XLA's per-lane
+    triangular-solve expander was the vmap regression (VERDICT r4 #4)."""
+    zin = pltpu.make_async_copy(b_hbm, zbuf, bsem)
+    zin.start()
+    zin.wait()
+    if trans:
+        _bwd_sweep(nb, l_hbm, dinv_hbm, tbuf, dbuf, zbuf, bsem, dsem)
+    else:
+        _fwd_sweep(nb, l_hbm, dinv_hbm, tbuf, dbuf, zbuf, bsem, dsem)
     zout = pltpu.make_async_copy(zbuf, x_hbm, bsem)
     zout.start()
     zout.wait()
@@ -531,5 +557,79 @@ def chol_solve_ls(L, Dinv, rhs, interpret=False):
             bytes_accessed=B * npad * npad * 4,
             transcendentals=0),
     )(Lp, Dinv, rT)
+    x = jnp.swapaxes(xT[:, :, :n], 1, 2)
+    return x[:, :, 0] if vec else x
+
+
+def _tri_chunk(Lp, Dinv, rT, trans, nb, interpret):
+    """One pallas_call of the single-sweep kernel on a (B,kc,npad)
+    lane-oriented RHS chunk."""
+    B, kc, npad = rT.shape
+    kernel = functools.partial(_tri_kernel, nb, B, kc, trans)
+    tshape = (B, npad, BS) if trans else (B, BS, npad)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, kc, npad), rT.dtype),
+        scratch_shapes=[pltpu.VMEM(tshape, jnp.float32),
+                        pltpu.VMEM((B, BS, BS), jnp.float32),
+                        pltpu.VMEM((B, kc, npad), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=B * npad * npad * kc,
+            bytes_accessed=B * npad * npad * 2,
+            transcendentals=0),
+    )(Lp, Dinv, rT)
+
+
+@functools.partial(jax.jit, static_argnames=("trans", "interpret"))
+def tri_solve_ls(L, Dinv, rhs, trans=False, interpret=False):
+    """Batched n-RHS triangular solve against the Pallas factor:
+    solves L X = rhs (trans=False) or L' X = rhs (trans=True) for
+    rhs (B,n) or (B,n,k) given batched_cholesky_ls output.
+
+    Wide RHS blocks (k up to n, the factor-refinement shape) are
+    chunked along k so the (B,kc,npad) working tile fits VMEM; every
+    chunk re-streams the relevant half of L (band DMAs), which at
+    ~900 GB/s is cheap next to XLA's per-lane expander."""
+    B, n, _ = L.shape
+    nb = Dinv.shape[0]
+    npad = nb * BS
+    vec = rhs.ndim == 2
+    r3 = rhs[:, :, None] if vec else rhs
+    k = r3.shape[2]
+    rT = jnp.swapaxes(r3, 1, 2)                          # (B,k,n)
+    if npad != n:
+        rT = jnp.concatenate(
+            [rT, jnp.zeros((B, k, npad - n), rT.dtype)], axis=2)
+        Lp = jnp.zeros((B, npad, npad), L.dtype)
+        Lp = Lp.at[:, :n, :n].set(L)
+        idx = jnp.arange(n, npad)
+        Lp = Lp.at[:, idx, idx].set(1.0)
+    else:
+        Lp = L
+
+    # chunk k so zbuf (B,kc,npad) stays within ~24MB of VMEM
+    kc_max = max(BS, (24 * 1024 * 1024) // (B * npad * 4) // BS * BS)
+    if k <= kc_max:
+        xT = _tri_chunk(Lp, Dinv, rT, trans, nb, interpret)
+    else:
+        nchunk = -(-k // kc_max)
+        kpad = nchunk * kc_max
+        if kpad != k:
+            rT = jnp.concatenate(
+                [rT, jnp.zeros((B, kpad - k, npad), rT.dtype)], axis=1)
+        outs = [_tri_chunk(Lp, Dinv,
+                           rT[:, c * kc_max:(c + 1) * kc_max, :],
+                           trans, nb, interpret)
+                for c in range(nchunk)]
+        xT = jnp.concatenate(outs, axis=1)[:, :k, :]
     x = jnp.swapaxes(xT[:, :, :n], 1, 2)
     return x[:, :, 0] if vec else x

@@ -99,3 +99,41 @@ def _chol_solve_vmap(axis_size, in_batched, L, Dinv, rhs):
         x = chol_solve_ls(L, jnp.swapaxes(Dinv, 0, 1), rhs)
         return x, True
     return jax.vmap(_solve_one)(L, Dinv, rhs), True
+
+
+def _make_tri(trans):
+    """Single-sweep triangular solve (L X = rhs, or L' X = rhs when
+    trans) that behaves like solve_triangular per instance but
+    collapses a vmapped trace into ONE Pallas call (ops/chol_ls.py
+    tri_solve_ls) — the n-RHS shape factor refinement needs, where
+    XLA's per-lane triangular-solve expander was the regression that
+    forced facref off under vmap (commit e111980)."""
+
+    @custom_vmap
+    def tri(L, Dinv, rhs):
+        return solve_triangular(L.T if trans else L, rhs,
+                                lower=not trans)
+
+    @tri.def_vmap
+    def _tri_vmap(axis_size, in_batched, L, Dinv, rhs):
+        lb, db, rb = in_batched
+        if not lb:
+            L = jnp.broadcast_to(L, (axis_size,) + L.shape)
+        if not db:
+            Dinv = jnp.broadcast_to(Dinv, (axis_size,) + Dinv.shape)
+        if not rb:
+            rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
+        n = L.shape[-1]
+        if _pallas_ok(n, L.dtype) and rhs.dtype == L.dtype:
+            from .chol_ls import tri_solve_ls
+            x = tri_solve_ls(L, jnp.swapaxes(Dinv, 0, 1), rhs,
+                             trans=trans)
+            return x, True
+        return jax.vmap(lambda Li, ri: solve_triangular(
+            Li.T if trans else Li, ri, lower=not trans))(L, rhs), True
+
+    return tri
+
+
+tri_lower_solve = _make_tri(False)    # L X = rhs
+tri_lower_t_solve = _make_tri(True)   # L' X = rhs

@@ -126,20 +126,24 @@ def _dispatched_batch(jitted, nargs_for_n, kktsolver=None):
     return solve
 
 
-def _no_facref(options):
-    """Force the factor refinement OFF for VMAPPED drivers: its setup
-    (two n-RHS triangular solves per factorization) runs through XLA's
-    slow TPU triangular-solve expander for every lane — measured 2-5x
-    slower than ozaki-only on the B=16 n=256 two-pass workload
-    (BENCHNOTES r4).  Explicit facref=True still wins."""
+def _vmap_facref(options):
+    """Size-aware factor refinement for VMAPPED drivers: the 'vmap'
+    sentinel makes _kkt_chol2_mixed enable it exactly when the Pallas
+    n-RHS substitution kernel will collapse the setup's two triangular
+    solves (n >= 256 f32 on an accelerator, ops/ipm_chol.py).  With the
+    kernel the B=16 n=256 two-pass workload measures FASTER with
+    refinement on (5.7 vs 5.3 solves/s, r5 chip session); below the
+    kernel threshold XLA's per-lane expander regression (BENCHNOTES r4:
+    2-5x) still applies, so those sizes stay off.  Explicit True/False
+    still wins."""
     o = options if isinstance(options, Options) else Options(
         **(options or {}))
-    return o._replace(facref=False) if o.facref is None else o
+    return o._replace(facref="vmap") if o.facref is None else o
 
 
 def batched_lp_solver(dims, kktsolver=None, options=None, mesh=None):
     """vmap (optionally pjit over mesh axis 'batch') of make_lp_solver."""
-    solve_one = make_lp_solver(dims, kktsolver, _no_facref(options))
+    solve_one = make_lp_solver(dims, kktsolver, _vmap_facref(options))
     vsolve = jax.vmap(solve_one)
     if mesh is None:
         return _dispatched_batch(jax.jit(vsolve), 0, kktsolver)
@@ -241,7 +245,7 @@ def batched_qp_solver(dims, kktsolver=None, options=None, mesh=None,
                       with_eq=False):
     """vmap (and optionally pjit over mesh axis 'batch') of
     make_qp_solver: solve(P[B], q[B], G[B], h[B]) -> batched state."""
-    solve_one = make_qp_solver(dims, kktsolver, _no_facref(options),
+    solve_one = make_qp_solver(dims, kktsolver, _vmap_facref(options),
                                with_eq)
     vsolve = jax.vmap(solve_one)
     if mesh is None:
