@@ -156,6 +156,98 @@ def _kkt_chol2(dims, edims, G, A, P, mnl, reg, W, H=None, Df=None):
 # fast path.  No reference counterpart — this is a build-side strategy.)
 # ---------------------------------------------------------------------------
 
+def _hoist_closure(fn, *ops_flat):
+    """Closure conversion that hoists ALL traced constants.
+
+    `jax.closure_convert` hoists only AD-perturbed constants, so values
+    captured from an enclosing vmap (BatchTracers) stay hidden in the
+    jaxpr — exactly what custom_vmap must see as arguments.  Tracing
+    with make_jaxpr records them as jaxpr consts (with their per-lane
+    avals); re-evaluating the jaxpr with the consts passed explicitly
+    makes them formal inputs."""
+    closed, oshape = jax.make_jaxpr(fn, return_shape=True)(*ops_flat)
+    out_tree = jax.tree_util.tree_structure(oshape)
+    jaxpr, consts = closed.jaxpr, list(closed.consts)
+
+    def conv(ops_l, consts_l):
+        outs = jax.core.eval_jaxpr(jaxpr, consts_l, *ops_l)
+        return jax.tree_util.tree_unflatten(out_tree, outs)
+
+    return conv, consts
+
+
+def cond_any(pred, true_fn, false_fn, *ops):
+    """`lax.cond(pred, true_fn, false_fn, *ops)` whose VMAPPED lowering
+    guards on `pred.any()`: the (expensive) true branch runs once for
+    the whole batch only when some lane actually needs it, with
+    per-lane selection of the results — instead of vmap's default
+    select lowering that executes it for every lane on every call.
+
+    This is what makes the f64-factor fallback of `chol2_mixed` viable
+    inside group-vmapped drivers (parallel/batch.py seq groups): the
+    fallback fires on the rare ill-conditioned lane, and a group whose
+    lanes are all well-conditioned pays nothing for it.  Both branches
+    may close over traced values (including batch tracers) — closures
+    are lifted via `_hoist_closure`."""
+    from jax.custom_batching import custom_vmap
+
+    ops_flat, ops_tree = jax.tree_util.tree_flatten(tuple(ops))
+
+    def tf(*leaves):
+        return true_fn(*jax.tree_util.tree_unflatten(ops_tree, leaves))
+
+    def ff(*leaves):
+        return false_fn(*jax.tree_util.tree_unflatten(ops_tree, leaves))
+
+    tconv, tconsts = _hoist_closure(tf, *ops_flat)
+    fconv, fconsts = _hoist_closure(ff, *ops_flat)
+
+    @custom_vmap
+    def cf(pred, ops_l, tc, fc):
+        return jax.lax.cond(pred, lambda: tconv(ops_l, tc),
+                            lambda: fconv(ops_l, fc))
+
+    @cf.def_vmap
+    def _rule(axis_size, in_batched, pred, ops_l, tc, fc):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x))
+
+        def bmap(seq, bseq):
+            bl = jax.tree_util.tree_leaves(bseq)
+            return [bcast(x, b) for x, b in zip(seq, bl)]
+
+        tm = jax.tree_util.tree_map
+        pred_b = bcast(pred, jax.tree_util.tree_leaves(in_batched[0])[0])
+        ops_b = bmap(ops_l, in_batched[1])
+        tc_b = bmap(tc, in_batched[2])
+        fc_b = bmap(fc, in_batched[3])
+
+        def vmapped(conv, ops_v, consts_v):
+            if not ops_v and not consts_v:
+                # constant branch (e.g. a zeros builder): evaluate once
+                # and broadcast across lanes
+                out1 = conv([], [])
+                return tm(lambda a: jnp.broadcast_to(
+                    a, (axis_size,) + a.shape), out1)
+            return jax.vmap(lambda o, f: conv(o, f))(ops_v, consts_v)
+
+        def run_false():
+            return vmapped(fconv, ops_b, fc_b)
+
+        def run_both():
+            tv = vmapped(tconv, ops_b, tc_b)
+            fv = run_false()
+            return tm(lambda a, b2: jnp.where(
+                pred_b.reshape((axis_size,) + (1,) * (a.ndim - 1)),
+                a, b2), tv, fv)
+
+        out = jax.lax.cond(jnp.any(pred_b), run_both, run_false)
+        return out, tm(lambda _: True, out)
+
+    return cf(pred, ops_flat, tconsts, fconsts)
+
+
 def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
                 rtol_factor=500.0, fallback=True, keq64_build=None):
     """Adaptive mixed-precision SPD solver core: equilibrated float32
@@ -239,7 +331,7 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
         contr = n1 / jnp.maximum(n0, 1e-300)
         bad = (~jnp.isfinite(contr)) | (contr > 0.5) | (~jnp.isfinite(n0))
 
-        L64 = jax.lax.cond(
+        L64 = cond_any(
             bad, lambda: jnp.linalg.cholesky(k64_build()),
             lambda: jnp.zeros(K32.shape, dtype))
 
@@ -300,7 +392,7 @@ def _mixed_core(kmul, K32, dtype, k64_build, max_refine=30,
         return solve32
 
     def ksolve(b):
-        return jax.lax.cond(bad, solve64, solve32, b)
+        return cond_any(bad, solve64, solve32, b)
 
     return ksolve
 

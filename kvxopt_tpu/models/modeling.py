@@ -783,11 +783,34 @@ class op:
                 varlist, con_aux)
 
 
-    def solve(self, format="dense", solver=None, options=None):
-        """Canonicalize and solve (reference modeling.py:2579)."""
+    def solve(self, format="dense", solver=None, options=None,
+              relax=False):
+        """Canonicalize and solve (reference modeling.py:2579).
+
+        Problems carrying integer columns (``_integer``, populated by
+        `fromfile` from MPS 'MARKER' sections) route to ``glpk.ilp``
+        with the corresponding I set (reference glpk.c:427-455) unless
+        ``relax=True`` forces the LP relaxation."""
         from ..solvers import lp
         (cvec, const0, G, h, A, b, var_index, ineq_rows, varlist,
          con_aux) = self._build_lp()
+        ints = getattr(self, "_integer", None)
+        if ints and not relax:
+            from .. import glpk
+            I = set()
+            for v, idxs in ints.items():
+                sl = var_index.get(v)
+                if sl is not None:
+                    I |= {sl.start + int(j) for j in idxs}
+            status, x = glpk.ilp(cvec, G, h, A, b, I=I,
+                                 options=options)
+            self.status = status
+            if x is not None:
+                xv = np.asarray(x).reshape(-1)
+                for v in varlist:
+                    v.value = matrix(
+                        xv[var_index[v]].copy().reshape(-1, 1))
+            return self.status
         if G.shape[0] == 0:
             # ensure a nonempty cone for the solver
             G = np.zeros((1, len(cvec)))

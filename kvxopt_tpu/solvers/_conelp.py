@@ -47,11 +47,11 @@ def conelp(c, G, h, dims=None, A=None, b=None, primalstart=None,
     executor (host XLA for sub-MXU-scale problems — tiny f64 IPMs are
     emulation- and dispatch-bound on TPU — accelerator otherwise) and
     delegates.  See `_conelp_impl` for semantics."""
-    from .coneprog import _veclen, _dispatch_ctx
+    from .coneprog import _veclen, _dispatch_ctx, _profile_ctx
     custom = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy,
                                          ynewcopy, ydot, yscal, yaxpy))
     n = None if (custom or callable(G)) else _veclen(c)
-    with _dispatch_ctx(n):
+    with _dispatch_ctx(n), _profile_ctx(options):
         return _conelp_impl(
             c, G, h, dims, A, b, primalstart, dualstart, kktsolver,
             options, xnewcopy, xdot, xscal, xaxpy, ynewcopy, ydot,
@@ -142,7 +142,7 @@ def _conelp_impl(c, G, h, dims=None, A=None, b=None, primalstart=None,
                   else _empty_vec(dtype))
         dst = (dy, _asarray(dualstart["z"], dtype))
 
-    o = o.resolve_refinement(dims)
+    o = o.resolve_refinement(dims, kktsolver)
     # fast path: standard array inputs reuse a cached jitted solver (no
     # retracing on repeated same-shape solves)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op)

@@ -76,11 +76,20 @@ class Options(NamedTuple):
                             # (matvec-shaped splits underuse the MXU —
                             # BENCHNOTES r4)
 
-    def resolve_refinement(self, dims):
+    def resolve_refinement(self, dims, kktsolver=None):
+        """-1 (auto) resolves to the reference default (1 with q/s
+        cones else 0, coneprog.py:436) — except with a mixed-precision
+        KKT strategy, where at least one solver-level refinement step
+        is required at 1e-7 tolerances even for pure-l dims: the f32
+        factor + PCG solve leaves ~1e-5 KKT residuals on some
+        instances, and without the outer refinement those lanes stall
+        at status 'unknown' (r5 chip measurement, B=4 n=512)."""
         if self.refinement >= 0:
             return self
-        return self._replace(
-            refinement=1 if (dims.q or dims.s) else 0)
+        auto = 1 if (dims.q or dims.s) else 0
+        if isinstance(kktsolver, str) and "mixed" in kktsolver:
+            auto = max(auto, 1)
+        return self._replace(refinement=auto)
 
 
 def _resolve_options(options):
@@ -284,6 +293,24 @@ def _dispatch_ctx(*sizes):
     return jax.default_device(dev)
 
 
+def _profile_ctx(options):
+    """Opt-in jax.profiler trace capture (SURVEY §5 dev tool): with
+    options['profile'] = <directory>, the whole solve — compile +
+    every IPM iteration of the XLA program — is captured as a
+    TensorBoard/Perfetto trace under that directory.  Documented in
+    docs/tpu.md.  Inactive (and free) when the key is absent."""
+    import contextlib
+    from . import options as global_options
+    d = dict(global_options)
+    if options:
+        d.update(options)
+    pdir = d.get("profile")
+    if not pdir:
+        return contextlib.nullcontext()
+    import jax.profiler
+    return jax.profiler.trace(str(pdir))
+
+
 def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
            kktsolver=None, options=None, xnewcopy=None, xdot=None,
            xscal=None, xaxpy=None, ynewcopy=None, ydot=None, yscal=None,
@@ -294,7 +321,7 @@ def coneqp(P, q, G=None, h=None, dims=None, A=None, b=None, initvals=None,
     custom = any(f is not None for f in (xnewcopy, xdot, xscal, xaxpy,
                                          ynewcopy, ydot, yscal, yaxpy))
     n = None if (custom or callable(G) or callable(P)) else _veclen(q)
-    with _dispatch_ctx(n):
+    with _dispatch_ctx(n), _profile_ctx(options):
         return _coneqp_impl(
             P, q, G, h, dims, A, b, initvals, kktsolver, options,
             xnewcopy, xdot, xscal, xaxpy, ynewcopy, ydot, yscal, yaxpy)
@@ -387,7 +414,7 @@ def _coneqp_impl(P, q, G=None, h=None, dims=None, A=None, b=None,
     # one cached jitted program (s-block symmetrization included), so
     # repeated same-shape solves skip retracing and cold solves pay a
     # single remote compilation
-    o = o.resolve_refinement(dims)
+    o = o.resolve_refinement(dims, kktsolver)
     if (isinstance(kktsolver, str) and not (G_is_op or A_is_op or P_is_op)
             and initvals is None and not (custom_x or custom_y)):
         # solver-tagged so a permanent LP fused-compile failure for the

