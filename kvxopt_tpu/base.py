@@ -794,6 +794,11 @@ exp = _elementwise(np.exp)
 log = _elementwise(_maybe_complex(np.log, lambda a: a <= 0))
 sqrt = _elementwise(_maybe_complex(np.sqrt, lambda a: a < 0))
 sin = _elementwise(np.sin)
+exp.__doc__ = "Elementwise exponential of a dense matrix (new matrix)."
+log.__doc__ = ("Elementwise natural log of a dense matrix (new matrix); "
+               "promotes to 'z' when any entry is <= 0.")
+sqrt.__doc__ = ("Elementwise square root of a dense matrix (new matrix); "
+                "promotes to 'z' when any entry is < 0.")
 cos = _elementwise(np.cos)
 tan = _elementwise(np.tan)
 asin = _elementwise(_maybe_complex(np.arcsin, lambda a: abs(a) > 1))

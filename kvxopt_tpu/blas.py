@@ -93,6 +93,11 @@ def _tri(Av, uplo, diag):
 # --- level 1 ---------------------------------------------------------------
 
 def swap(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
+    """Interchange two vectors: x <-> y.
+
+    n entries are exchanged (default: as many as fit), addressed as
+    x[offsetx + incx*i] and y[offsety + incy*i].  In place on both.
+    """
     fx, ix = _vec(x, n, incx, offsetx)
     fy, iy = _vec(y, n if n is not None else None, incy, offsety)
     if n is None:
@@ -104,11 +109,21 @@ def swap(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
 
 
 def scal(alpha, x, n=None, inc=1, offset=0):
+    """Scale a vector: x := alpha*x.
+
+    Operates on the n entries x[offset + inc*i]; n=None means every
+    entry reachable from offset with stride inc.  In place.
+    """
     f, idx = _vec(x, n, inc, offset)
     f[idx] = alpha * f[idx]
 
 
 def copy(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
+    """Copy a vector: y := x.
+
+    n entries (default: as many as fit), source addressed by
+    (offsetx, incx), destination by (offsety, incy).  In place on y.
+    """
     fx, ix = _vec(x, n, incx, offsetx)
     fy, iy = _vec(y, n, incy, offsety)
     k = min(len(ix), len(iy)) if n is None else len(ix)
@@ -116,6 +131,11 @@ def copy(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
 
 
 def axpy(x, y, alpha=1.0, n=None, incx=1, incy=1, offsetx=0, offsety=0):
+    """Constant times a vector plus a vector: y := alpha*x + y.
+
+    n entries (default: as many as fit), x addressed by
+    (offsetx, incx), y by (offsety, incy).  In place on y.
+    """
     fx, ix = _vec(x, n, incx, offsetx)
     fy, iy = _vec(y, n, incy, offsety)
     k = min(len(ix), len(iy)) if n is None else len(ix)
@@ -123,7 +143,12 @@ def axpy(x, y, alpha=1.0, n=None, incx=1, incy=1, offsetx=0, offsety=0):
 
 
 def dot(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
-    """x^H y (conjugated for 'z'), the reference's dot."""
+    """Inner product x^H y (conjugated for 'z'; plain x^T y for 'd').
+
+    Returns a Python float (or complex).  n entries addressed by
+    (offsetx, incx) / (offsety, incy); n=None uses the shorter of the
+    two reachable lengths.
+    """
     fx, ix = _vec(x, n, incx, offsetx)
     fy, iy = _vec(y, n, incy, offsety)
     k = min(len(ix), len(iy)) if n is None else len(ix)
@@ -132,6 +157,10 @@ def dot(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
 
 
 def dotu(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
+    """Unconjugated inner product x^T y (blas.c dotu).
+
+    Same addressing as `dot`; for 'd' matrices dot and dotu agree.
+    """
     fx, ix = _vec(x, n, incx, offsetx)
     fy, iy = _vec(y, n, incy, offsety)
     k = min(len(ix), len(iy)) if n is None else len(ix)
@@ -140,11 +169,19 @@ def dotu(x, y, n=None, incx=1, incy=1, offsetx=0, offsety=0):
 
 
 def nrm2(x, n=None, inc=1, offset=0):
+    """Euclidean norm ||x||_2 of the n addressed entries.
+
+    Entries x[offset + inc*i]; returns a Python float.
+    """
     f, idx = _vec(x, n, inc, offset)
     return float(np.linalg.norm(f[idx]))
 
 
 def asum(x, n=None, inc=1, offset=0):
+    """1-norm-style sum: sum_i |Re x_i| + |Im x_i| (BLAS asum).
+
+    Entries x[offset + inc*i]; returns a Python float.
+    """
     f, idx = _vec(x, n, inc, offset)
     v = f[idx]
     if v.dtype.kind == "c":
@@ -153,6 +190,11 @@ def asum(x, n=None, inc=1, offset=0):
 
 
 def iamax(x, n=None, inc=1, offset=0):
+    """Index of the entry with largest |Re| + |Im| (BLAS iamax).
+
+    Returns a 0-based index into the addressed subvector (the
+    reference's convention, blas.c:772).
+    """
     f, idx = _vec(x, n, inc, offset)
     v = f[idx]
     if v.dtype.kind == "c":
@@ -166,6 +208,17 @@ def iamax(x, n=None, inc=1, offset=0):
 
 def gemv(A, x, y, trans="N", alpha=1.0, beta=0.0, m=None, n=None, ldA=None,
          incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
+    """General matrix-vector product:
+
+        y := alpha*A*x + beta*y    (trans = 'N')
+        y := alpha*A^T*x + beta*y  (trans = 'T')
+        y := alpha*A^H*x + beta*y  (trans = 'C')
+
+    A is an m-by-n block read from A's buffer at offsetA with leading
+    dimension ldA (defaults: m, n = A.size; ldA = A.size[0]); x and y
+    are strided vectors addressed by (offsetx, incx) / (offsety, incy).
+    In place on y.
+    """
     Av, _ = _mat(A, m, n, ldA, offsetA)
     rows = Av.shape[0] if trans == "N" else Av.shape[1]
     cols = Av.shape[1] if trans == "N" else Av.shape[0]
@@ -176,6 +229,12 @@ def gemv(A, x, y, trans="N", alpha=1.0, beta=0.0, m=None, n=None, ldA=None,
 
 def symv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, ldA=None,
          incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
+    """Symmetric matrix-vector product: y := alpha*A*x + beta*y.
+
+    Only the uplo ('L' lower / 'U' upper) triangle of the n-by-n block
+    at offsetA (leading dimension ldA) is referenced; the other
+    triangle is taken by symmetry.  In place on y.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -187,6 +246,11 @@ def symv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, ldA=None,
 
 def hemv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, ldA=None,
          incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
+    """Hermitian matrix-vector product: y := alpha*A*x + beta*y.
+
+    Like `symv` but the mirrored triangle is conjugated ('z'); for 'd'
+    matrices hemv and symv agree.  In place on y.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -208,8 +272,14 @@ def _band_to_dense(Av, m, n, kl, ku):
 def gbmv(A, m, kl, x, y, trans="N", alpha=1.0, beta=0.0, n=None,
          ku=None, ldA=None, incx=1, incy=1, offsetA=0, offsetx=0,
          offsety=0):
-    """Reference argument order (blas.c:986): gbmv(A, m, kl, x, y, ...)
-    with ku defaulting to A.size[0] - kl - 1."""
+    """General BAND matrix-vector product (blas.c:986).
+
+    y := alpha*A*x + beta*y (or A^T/A^H for trans='T'/'C') where A is an
+    m-by-n band matrix with kl subdiagonals and ku superdiagonals stored
+    in the BLAS 'gb' format (row kl+ku+1-band layout, leading dimension
+    ldA >= kl+ku+1).  Reference argument order: gbmv(A, m, kl, x, y,
+    ...) with ku defaulting to A.size[0] - kl - 1.  In place on y.
+    """
     if n is None:
         n = A.size[1]
     if ku is None:
@@ -257,20 +327,36 @@ def _sbmv_impl(A, x, y, uplo, alpha, beta, n, k, ldA, incx, incy,
 
 def sbmv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, k=None, ldA=None,
          incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
+    """Symmetric BAND matrix-vector product: y := alpha*A*x + beta*y.
+
+    A is an n-by-n symmetric band matrix with k off-diagonals stored in
+    the BLAS 'sb' format with leading dimension ldA >= k+1, uplo
+    selecting which triangle the bands describe.  In place on y.
+    """
     _sbmv_impl(A, x, y, uplo, alpha, beta, n, k, ldA, incx, incy,
                offsetA, offsetx, offsety, her=False)
 
 
 def hbmv(A, x, y, uplo="L", alpha=1.0, beta=0.0, n=None, k=None, ldA=None,
          incx=1, incy=1, offsetA=0, offsetx=0, offsety=0):
-    """Hermitian banded matrix-vector product (blas.c hbmv): same band
-    storage as sbmv but the mirrored triangle is conjugated."""
+    """Hermitian BAND matrix-vector product (blas.c hbmv).
+
+    Same band storage as `sbmv` but the mirrored triangle is
+    conjugated.  In place on y.
+    """
     _sbmv_impl(A, x, y, uplo, alpha, beta, n, k, ldA, incx, incy,
                offsetA, offsetx, offsety, her=True)
 
 
 def trmv(A, x, uplo="L", trans="N", diag="N", n=None, ldA=None, incx=1,
          offsetA=0, offsetx=0):
+    """Triangular matrix-vector product: x := A*x (trans='N'),
+    A^T*x ('T') or A^H*x ('C').
+
+    A is the n-by-n uplo triangle at offsetA (leading dimension ldA);
+    diag='U' treats the diagonal as unit (ones, not read).  In place
+    on x.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -281,6 +367,13 @@ def trmv(A, x, uplo="L", trans="N", diag="N", n=None, ldA=None, incx=1,
 
 def trsv(A, x, uplo="L", trans="N", diag="N", n=None, ldA=None, incx=1,
          offsetA=0, offsetx=0):
+    """Triangular solve: x := A^{-1}*x (trans='N'), A^{-T}*x ('T')
+    or A^{-H}*x ('C').
+
+    Same addressing as `trmv`; raises ArithmeticError on a zero
+    diagonal entry (singular triangle), like the reference.  In place
+    on x.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -291,6 +384,12 @@ def trsv(A, x, uplo="L", trans="N", diag="N", n=None, ldA=None, incx=1,
 
 def tbmv(A, x, uplo="L", trans="N", diag="N", n=None, k=None, ldA=None,
          incx=1, offsetA=0, offsetx=0):
+    """Triangular BAND matrix-vector product: x := A*x / A^T*x /
+    A^H*x.
+
+    A is an n-by-n triangular band matrix with k off-diagonals in 'tb'
+    storage (leading dimension ldA >= k+1).  In place on x.
+    """
     if n is None:
         n = A.size[1]
     if k is None:
@@ -312,6 +411,10 @@ def tbmv(A, x, uplo="L", trans="N", diag="N", n=None, k=None, ldA=None,
 
 def tbsv(A, x, uplo="L", trans="N", diag="N", n=None, k=None, ldA=None,
          incx=1, offsetA=0, offsetx=0):
+    """Triangular BAND solve: x := A^{-1}*x / A^{-T}*x / A^{-H}*x.
+
+    Same storage as `tbmv`.  In place on x.
+    """
     if n is None:
         n = A.size[1]
     if k is None:
@@ -333,7 +436,11 @@ def tbsv(A, x, uplo="L", trans="N", diag="N", n=None, k=None, ldA=None,
 
 def ger(x, y, A, alpha=1.0, m=None, n=None, incx=1, incy=1, ldA=None,
         offsetx=0, offsety=0, offsetA=0):
-    """A := A + alpha x y^H."""
+    """General rank-1 update: A := A + alpha*x*y^H (conjugated).
+
+    A is the m-by-n block at offsetA (leading dimension ldA); x, y are
+    strided vectors.  In place on A.
+    """
     Av, _ = _mat(A, m, n, ldA, offsetA)
     fx, ix = _vec(x, Av.shape[0], incx, offsetx)
     fy, iy = _vec(y, Av.shape[1], incy, offsety)
@@ -342,6 +449,10 @@ def ger(x, y, A, alpha=1.0, m=None, n=None, incx=1, incy=1, ldA=None,
 
 def geru(x, y, A, alpha=1.0, m=None, n=None, incx=1, incy=1, ldA=None,
          offsetx=0, offsety=0, offsetA=0):
+    """Unconjugated rank-1 update: A := A + alpha*x*y^T.
+
+    Same addressing as `ger`.  In place on A.
+    """
     Av, _ = _mat(A, m, n, ldA, offsetA)
     fx, ix = _vec(x, Av.shape[0], incx, offsetx)
     fy, iy = _vec(y, Av.shape[1], incy, offsety)
@@ -359,6 +470,11 @@ def _update_tri(Av, upd, uplo):
 
 def syr(x, A, uplo="L", alpha=1.0, n=None, incx=1, ldA=None, offsetx=0,
         offsetA=0):
+    """Symmetric rank-1 update: A := A + alpha*x*x^T.
+
+    Only the uplo triangle of the n-by-n block is updated.  In place
+    on A.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -368,6 +484,10 @@ def syr(x, A, uplo="L", alpha=1.0, n=None, incx=1, ldA=None, offsetx=0,
 
 def her(x, A, uplo="L", alpha=1.0, n=None, incx=1, ldA=None, offsetx=0,
         offsetA=0):
+    """Hermitian rank-1 update: A := A + alpha*x*x^H (alpha real).
+
+    Only the uplo triangle is updated.  In place on A.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -377,6 +497,11 @@ def her(x, A, uplo="L", alpha=1.0, n=None, incx=1, ldA=None, offsetx=0,
 
 def syr2(x, y, A, uplo="L", alpha=1.0, n=None, incx=1, incy=1, ldA=None,
          offsetx=0, offsety=0, offsetA=0):
+    """Symmetric rank-2 update: A := A + alpha*(x*y^T + y*x^T).
+
+    Only the uplo triangle of the n-by-n block is updated.  In place
+    on A.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -388,6 +513,11 @@ def syr2(x, y, A, uplo="L", alpha=1.0, n=None, incx=1, incy=1, ldA=None,
 
 def her2(x, y, A, uplo="L", alpha=1.0, n=None, incx=1, incy=1, ldA=None,
          offsetx=0, offsety=0, offsetA=0):
+    """Hermitian rank-2 update: A := A + alpha*x*y^H +
+    conj(alpha)*y*x^H.
+
+    Only the uplo triangle is updated.  In place on A.
+    """
     if n is None:
         n = A.size[0]
     Av, _ = _mat(A, n, n, ldA, offsetA)
@@ -403,6 +533,15 @@ def her2(x, y, A, uplo="L", alpha=1.0, n=None, incx=1, incy=1, ldA=None,
 def gemm(A, B, C, transA="N", transB="N", alpha=1.0, beta=0.0, m=None,
          n=None, k=None, ldA=None, ldB=None, ldC=None, offsetA=0,
          offsetB=0, offsetC=0):
+    """General matrix-matrix product:
+
+        C := alpha*op(A)*op(B) + beta*C
+
+    with op(X) = X, X^T or X^H per transA/transB in 'N'/'T'/'C'.
+    op(A) is m-by-k, op(B) k-by-n, C m-by-n; each operand is a
+    column-major block read at its offset* with leading dimension ld*
+    (defaults from the matrix sizes).  In place on C.
+    """
     if m is None:
         m = A.size[0] if transA == "N" else A.size[1]
     if n is None:
@@ -419,6 +558,13 @@ def gemm(A, B, C, transA="N", transB="N", alpha=1.0, beta=0.0, m=None,
 
 def symm(A, B, C, side="L", uplo="L", alpha=1.0, beta=0.0, m=None, n=None,
          ldA=None, ldB=None, ldC=None, offsetA=0, offsetB=0, offsetC=0):
+    """Symmetric matrix-matrix product:
+
+        C := alpha*A*B + beta*C   (side = 'L', A symmetric m-by-m)
+        C := alpha*B*A + beta*C   (side = 'R', A symmetric n-by-n)
+
+    Only the uplo triangle of A is referenced.  In place on C.
+    """
     if m is None:
         m = B.size[0]
     if n is None:
@@ -433,6 +579,9 @@ def symm(A, B, C, side="L", uplo="L", alpha=1.0, beta=0.0, m=None, n=None,
 
 def hemm(A, B, C, side="L", uplo="L", alpha=1.0, beta=0.0, m=None, n=None,
          ldA=None, ldB=None, ldC=None, offsetA=0, offsetB=0, offsetC=0):
+    """Hermitian matrix-matrix product: like `symm` with the
+    mirrored triangle of A conjugated.  In place on C.
+    """
     if m is None:
         m = B.size[0]
     if n is None:
@@ -447,6 +596,14 @@ def hemm(A, B, C, side="L", uplo="L", alpha=1.0, beta=0.0, m=None, n=None,
 
 def syrk(A, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None, k=None,
          ldA=None, ldC=None, offsetA=0, offsetC=0):
+    """Symmetric rank-k update:
+
+        C := alpha*A*A^T + beta*C    (trans = 'N')
+        C := alpha*A^T*A + beta*C    (trans = 'T')
+
+    C is n-by-n, only its uplo triangle is updated; A is n-by-k
+    ('N') or k-by-n ('T').  In place on C.
+    """
     if n is None:
         n = A.size[0] if trans == "N" else A.size[1]
     if k is None:
@@ -461,6 +618,11 @@ def syrk(A, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None, k=None,
 
 def herk(A, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None, k=None,
          ldA=None, ldC=None, offsetA=0, offsetC=0):
+    """Hermitian rank-k update: C := alpha*A*A^H + beta*C ('N') or
+    alpha*A^H*A + beta*C ('C'); alpha, beta real.
+
+    Only the uplo triangle of C is updated.  In place on C.
+    """
     if n is None:
         n = A.size[0] if trans == "N" else A.size[1]
     if k is None:
@@ -476,6 +638,13 @@ def herk(A, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None, k=None,
 def syr2k(A, B, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None,
           k=None, ldA=None, ldB=None, ldC=None, offsetA=0, offsetB=0,
           offsetC=0):
+    """Symmetric rank-2k update:
+
+        C := alpha*(A*B^T + B*A^T) + beta*C   (trans = 'N')
+        C := alpha*(A^T*B + B^T*A) + beta*C   (trans = 'T')
+
+    Only the uplo triangle of C is updated.  In place on C.
+    """
     if n is None:
         n = A.size[0] if trans == "N" else A.size[1]
     if k is None:
@@ -495,6 +664,11 @@ def syr2k(A, B, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None,
 def her2k(A, B, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None,
           k=None, ldA=None, ldB=None, ldC=None, offsetA=0, offsetB=0,
           offsetC=0):
+    """Hermitian rank-2k update: C := alpha*A*B^H +
+    conj(alpha)*B*A^H + beta*C ('N'; 'C' transposes the operands);
+    beta real.  Only the uplo triangle of C is updated.  In place on
+    C.
+    """
     if n is None:
         n = A.size[0] if trans == "N" else A.size[1]
     if k is None:
@@ -515,6 +689,14 @@ def her2k(A, B, C, uplo="L", trans="N", alpha=1.0, beta=0.0, n=None,
 
 def trmm(A, B, side="L", uplo="L", transA="N", diag="N", alpha=1.0,
          m=None, n=None, ldA=None, ldB=None, offsetA=0, offsetB=0):
+    """Triangular matrix-matrix product:
+
+        B := alpha*op(A)*B   (side = 'L')
+        B := alpha*B*op(A)   (side = 'R')
+
+    op per transA; A is the uplo triangle (diag='U' = unit diagonal).
+    In place on B.
+    """
     if m is None:
         m = B.size[0]
     if n is None:
@@ -528,6 +710,14 @@ def trmm(A, B, side="L", uplo="L", transA="N", diag="N", alpha=1.0,
 
 def trsm(A, B, side="L", uplo="L", transA="N", diag="N", alpha=1.0,
          m=None, n=None, ldA=None, ldB=None, offsetA=0, offsetB=0):
+    """Triangular matrix-matrix solve:
+
+        B := alpha*op(A)^{-1}*B   (side = 'L')
+        B := alpha*B*op(A)^{-1}   (side = 'R')
+
+    op per transA; A is the uplo triangle (diag='U' = unit diagonal).
+    Raises ArithmeticError on a singular triangle.  In place on B.
+    """
     if m is None:
         m = B.size[0]
     if n is None:

@@ -202,6 +202,9 @@ def sdot(dims: ConeDims, u, v):
 
 
 def snrm2(dims: ConeDims, u):
+    """Euclidean norm of a cone vector under the s-block inner
+    product (off-diagonal s entries counted once, reference
+    misc_solvers.c snrm2)."""
     return jnp.sqrt(jnp.maximum(sdot(dims, u, u), 0.0))
 
 
@@ -723,6 +726,8 @@ def scale2(dims: ConeDims, lmbda, u, inverse: bool = False):
 
 
 def pack_size(dims: ConeDims) -> int:
+    """Length of the packed representation of a cone vector
+    (l + sum(q) + sum(m*(m+1)/2) for the lower-triangle s blocks)."""
     return dims.l + sum(dims.q) + sum(m * (m + 1) // 2 for m in dims.s)
 
 

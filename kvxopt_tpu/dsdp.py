@@ -19,6 +19,11 @@ options = {}
 
 def sdp(c, Gl=None, hl=None, Gs=None, hs=None, gamma=1e8, beta=1e7,
         options=None):
+    """Solve the DSDP-form SDP min c'x s.t. Gl x <= hl,
+    sum_i x_i (Gs_k)_i <= hs_k via the native conelp core, with the
+    DSDP option dict (DSDP_Monitor, DSDP_MaxIts, DSDP_GapTolerance)
+    and status strings ('DSDP_PDFEASIBLE', ...) mapped to the
+    reference dsdp.c:40-60 contract.  Returns (status, x, r, zl, zs)."""
     from .solvers import sdp as _sdp
     merged = dict(globals()["options"])
     if options is not None:

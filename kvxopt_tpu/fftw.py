@@ -62,6 +62,7 @@ def dftn(X, dims=None):
 
 
 def idftn(X, dims=None):
+    """Inverse N-dimensional complex DFT (unnormalized), in place."""
     out = _nd(X, _fft.ifftn, dims)
     X._a = np.asfortranarray(out.reshape(X.size, order="F").astype(
         np.complex128))
@@ -80,6 +81,8 @@ def idct(X, type=2):
 
 
 def dctn(X, dims=None, type=2):
+    """N-dimensional DCT over the given dims (default: all), type
+    1..4, in place (reference fftw.c dctn)."""
     out = _nd(X, lambda a: _fft.dctn(a.real, type=type), dims)
     X._a = np.asfortranarray(out.reshape(X.size, order="F").astype(
         np.float64))
@@ -87,6 +90,7 @@ def dctn(X, dims=None, type=2):
 
 
 def idctn(X, dims=None, type=2):
+    """Inverse of `dctn` (unnormalized, like FFTW), in place."""
     out = _nd(X, lambda a: _fft.idctn(a.real, type=type), dims)
     X._a = np.asfortranarray(out.reshape(X.size, order="F").astype(
         np.float64))
@@ -99,11 +103,13 @@ def dst(X, type=1):
 
 
 def idst(X, type=1):
+    """Inverse 1-d DST of the given type (unnormalized), in place."""
     return _inplace_cols(
         X, lambda a: _fft.idst(a.real, type=type, axis=0))
 
 
 def dstn(X, dims=None, type=1):
+    """N-dimensional DST over the given dims, type 1..4, in place."""
     out = _nd(X, lambda a: _fft.dstn(a.real, type=type), dims)
     X._a = np.asfortranarray(out.reshape(X.size, order="F").astype(
         np.float64))
@@ -111,6 +117,7 @@ def dstn(X, dims=None, type=1):
 
 
 def idstn(X, dims=None, type=1):
+    """Inverse of `dstn` (unnormalized), in place."""
     out = _nd(X, lambda a: _fft.idstn(a.real, type=type), dims)
     X._a = np.asfortranarray(out.reshape(X.size, order="F").astype(
         np.float64))

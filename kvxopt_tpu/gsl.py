@@ -40,16 +40,22 @@ def _next_key():
 
 
 def normal_jax(nrows, ncols=1, mean=0.0, std=1.0):
+    """Like `normal` but returns a jax array drawn with
+    jax.random (device-resident; advances the module PRNG key)."""
     return mean + std * jax.random.normal(
         _next_key(), (nrows, ncols), dtype=config.default_dtype)
 
 
 def uniform_jax(nrows, ncols=1, a=0.0, b=1.0):
+    """Like `uniform` but returns a jax array drawn with
+    jax.random (device-resident; advances the module PRNG key)."""
     return jax.random.uniform(_next_key(), (nrows, ncols),
                               dtype=config.default_dtype, minval=a, maxval=b)
 
 
 def weibull_jax(nrows, ncols=1, a=1.0, b=1.0):
+    """Weibull(a, b) samples as a jax array (jax.random;
+    advances the module PRNG key)."""
     # inverse-CDF sampling: X = b * (-log(1-U))^{1/a}
     u = jax.random.uniform(_next_key(), (nrows, ncols),
                            dtype=config.default_dtype)

@@ -64,6 +64,12 @@ def _check(info, what="factorization"):
 # --- LU --------------------------------------------------------------------
 
 def getrf(A, ipiv):
+    """LU factorization with partial pivoting: A = P*L*U.
+
+    On exit A holds L (unit lower, below the diagonal) and U; ipiv
+    (integer matrix, length >= min(m,n)) receives the 1-based pivot
+    indices.  Raises ArithmeticError if U is exactly singular.
+    """
     a = _arr(A)
     lu, piv, info = (_lp.zgetrf if a.dtype.kind == "c"
                      else _lp.dgetrf)(a)
@@ -74,6 +80,10 @@ def getrf(A, ipiv):
 
 
 def getrs(A, ipiv, B, trans="N"):
+    """Solve op(A)*X = B from a `getrf` factorization, in place on
+    B.  trans in 'N'/'T'/'C' selects op; B may hold multiple
+    right-hand-side columns.
+    """
     a = _arr(A)
     piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
     tr = {"N": 0, "T": 1, "C": 2}[trans]
@@ -85,6 +95,9 @@ def getrs(A, ipiv, B, trans="N"):
 
 
 def getri(A, ipiv):
+    """Matrix inverse from a `getrf` factorization, in place on A
+    (A := A^{-1}).
+    """
     a = _arr(A)
     piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
     fn = _lp.zgetri if a.dtype.kind == "c" else _lp.dgetri
@@ -94,6 +107,10 @@ def getri(A, ipiv):
 
 
 def gesv(A, B, ipiv=None):
+    """Solve A*X = B by LU with partial pivoting.  On exit A holds
+    the factors (as `getrf`) and B the solution; ipiv optionally
+    receives the pivots.  Raises ArithmeticError if singular.
+    """
     a = _arr(A)
     lu, piv, info = (_lp.zgetrf if a.dtype.kind == "c"
                      else _lp.dgetrf)(a)
@@ -117,8 +134,11 @@ class _BandFactor:
 
 
 def gbtrf(A, m, kl, ipiv, n=None, ldA=None, offsetA=0):
-    """Banded LU.  A uses the BLAS gb storage with kl+ku+1+kl rows
-    (LAPACK needs kl extra rows for fill); the reference's convention."""
+    """LU factorization of an m-by-n BAND matrix with kl
+    subdiagonals, stored in the BLAS/LAPACK 'gb' format with
+    2*kl+ku+1 rows (ldA >= 2*kl+ku+1; ku defaults from the storage).
+    On exit A holds the band factors and ipiv the pivots.
+    """
     a = _arr(A)
     if n is None:
         n = a.shape[1]
@@ -132,6 +152,9 @@ def gbtrf(A, m, kl, ipiv, n=None, ldA=None, offsetA=0):
 
 
 def gbtrs(A, kl, ipiv, B, trans="N"):
+    """Solve op(A)*X = B from a `gbtrf` band factorization, in
+    place on B.
+    """
     a = _arr(A)
     ku = a.shape[0] - 2 * kl - 1
     piv = np.asarray(ipiv).reshape(-1).astype(np.int32) - 1
@@ -144,9 +167,10 @@ def gbtrs(A, kl, ipiv, B, trans="N"):
 
 
 def gbsv(A, kl, B, ipiv=None, ku=None):
-    """Reference semantics (lapack.c:992): with ipiv, A has 2*kl+ku+1
-    rows (gbtrf storage) and is overwritten with the factorization;
-    without ipiv, A holds just the kl+ku+1 diagonals and is unchanged."""
+    """Solve A*X = B for a band matrix A ('gb' storage with kl
+    subdiagonals, ku superdiagonals).  Factorization + solve in one
+    call; in place on A (factors) and B (solution).
+    """
     a = _arr(A)
     fn = _lp.zgbsv if a.dtype.kind == "c" else _lp.dgbsv
     if ipiv is not None:
@@ -170,6 +194,11 @@ def gbsv(A, kl, B, ipiv=None, ku=None):
 
 
 def gttrf(dl, d, du, du2, ipiv):
+    """LU factorization of a TRIDIAGONAL matrix given by its
+    subdiagonal dl (n-1), diagonal d (n), superdiagonal du (n-1).
+    On exit the vectors hold the factors, du2 (n-2) the second
+    superdiagonal of U, ipiv the pivots.
+    """
     fn = _lp.zgttrf if _complexkind(d) else _lp.dgttrf
     dl2, d2, du_2, du2_2, piv, info = fn(
         np.asarray(dl).reshape(-1), np.asarray(d).reshape(-1),
@@ -183,6 +212,9 @@ def gttrf(dl, d, du, du2, ipiv):
 
 
 def gttrs(dl, d, du, du2, ipiv, B, trans="N"):
+    """Solve op(A)*X = B from a `gttrf` tridiagonal factorization,
+    in place on B.
+    """
     fn = _lp.zgttrs if _complexkind(d) else _lp.dgttrs
     piv = np.asarray(ipiv).reshape(-1).astype(np.int32)
     n = np.asarray(d).size
@@ -195,6 +227,9 @@ def gttrs(dl, d, du, du2, ipiv, B, trans="N"):
 
 
 def gtsv(dl, d, du, B):
+    """Solve A*X = B for tridiagonal A given by dl/d/du;
+    factorization + solve, in place on the vectors and B.
+    """
     n = np.asarray(d).size
     fn = _lp.zgtsv if _complexkind(d) else _lp.dgtsv
     dl2, d2, du2, x, info = fn(np.asarray(dl).reshape(-1),
@@ -208,6 +243,12 @@ def gtsv(dl, d, du, B):
 # --- Cholesky --------------------------------------------------------------
 
 def potrf(A, uplo="L"):
+    """Cholesky factorization of a symmetric/Hermitian positive
+    definite matrix: A = L*L^H (uplo='L') or A = U^H*U ('U').
+
+    Only the uplo triangle is referenced and overwritten with the
+    factor.  Raises ArithmeticError if A is not positive definite.
+    """
     a = _arr(A)
     fn = _lp.zpotrf if a.dtype.kind == "c" else _lp.dpotrf
     c, info = fn(a, lower=(uplo == "L"), clean=0)
@@ -216,6 +257,9 @@ def potrf(A, uplo="L"):
 
 
 def potrs(A, B, uplo="L"):
+    """Solve A*X = B from a `potrf` Cholesky factor, in place on
+    B.
+    """
     a = _arr(A)
     fn = _lp.zpotrs if a.dtype.kind == "c" else _lp.dpotrs
     x, info = fn(a, np.asarray(B).reshape(a.shape[0], -1),
@@ -225,6 +269,9 @@ def potrs(A, B, uplo="L"):
 
 
 def potri(A, uplo="L"):
+    """Inverse from a `potrf` Cholesky factor, in place on A
+    (only the uplo triangle is formed).
+    """
     a = _arr(A)
     fn = _lp.zpotri if a.dtype.kind == "c" else _lp.dpotri
     inv, info = fn(a, lower=(uplo == "L"))
@@ -233,11 +280,17 @@ def potri(A, uplo="L"):
 
 
 def posv(A, B, uplo="L"):
+    """Solve A*X = B for positive definite A: Cholesky factorize
+    (in place on A) then solve (in place on B).
+    """
     potrf(A, uplo)
     potrs(A, B, uplo)
 
 
 def pbtrf(A, uplo="L"):
+    """Cholesky factorization of a positive definite BAND matrix
+    in 'pb' storage (kd+1 band rows).  In place on A.
+    """
     a = _arr(A)
     fn = _lp.zpbtrf if a.dtype.kind == "c" else _lp.dpbtrf
     c, info = fn(a, lower=(uplo == "L"))
@@ -246,6 +299,9 @@ def pbtrf(A, uplo="L"):
 
 
 def pbtrs(A, B, uplo="L"):
+    """Solve from a `pbtrf` band Cholesky factor, in place on
+    B.
+    """
     a = _arr(A)
     fn = _lp.zpbtrs if a.dtype.kind == "c" else _lp.dpbtrs
     x, info = fn(a, np.asarray(B).reshape(a.shape[1], -1),
@@ -255,11 +311,17 @@ def pbtrs(A, B, uplo="L"):
 
 
 def pbsv(A, B, uplo="L"):
+    """Factorize + solve for a positive definite band matrix, in
+    place on A and B.
+    """
     pbtrf(A, uplo)
     pbtrs(A, B, uplo)
 
 
 def pttrf(d, e):
+    """L*D*L^H factorization of a positive definite TRIDIAGONAL
+    matrix given by diagonal d and off-diagonal e; in place.
+    """
     fn = _lp.zpttrf if _complexkind(e) else _lp.dpttrf
     d2, e2, info = fn(np.asarray(d).reshape(-1).real,
                       np.asarray(e).reshape(-1))
@@ -268,6 +330,10 @@ def pttrf(d, e):
 
 
 def pttrs(d, e, B, uplo="L"):
+    """Solve from a `pttrf` factorization, in place on B.  uplo
+    states whether e was the sub- ('L') or superdiagonal ('U') for
+    complex data.
+    """
     n = np.asarray(d).size
     if _complexkind(e):
         x, info = _lp.zpttrs(np.asarray(d).reshape(-1).real,
@@ -283,6 +349,9 @@ def pttrs(d, e, B, uplo="L"):
 
 
 def ptsv(d, e, B):
+    """Factorize + solve for a positive definite tridiagonal
+    matrix; in place on d, e, B.
+    """
     pttrf(d, e)
     pttrs(d, e, B)
 
@@ -290,6 +359,11 @@ def ptsv(d, e, B):
 # --- symmetric indefinite --------------------------------------------------
 
 def sytrf(A, ipiv, uplo="L"):
+    """Bunch-Kaufman factorization of a symmetric indefinite
+    matrix: A = L*D*L^T (uplo='L') or U*D*U^T ('U'), D block-diagonal
+    with 1x1/2x2 pivots.  In place on A; ipiv receives the pivot
+    structure.
+    """
     a = _arr(A)
     fn = _lp.zsytrf if a.dtype.kind == "c" else _lp.dsytrf
     ldu, piv, info = fn(a, lower=(uplo == "L"))
@@ -310,6 +384,9 @@ def _rawpiv(ipiv):
 
 
 def sytrs(A, ipiv, B, uplo="L"):
+    """Solve A*X = B from a `sytrf` factorization, in place on
+    B.
+    """
     a = _arr(A)
     fn = _lp.zsytrs if a.dtype.kind == "c" else _lp.dsytrs
     x, info = fn(a, _rawpiv(ipiv), np.asarray(B).reshape(a.shape[0], -1),
@@ -319,6 +396,8 @@ def sytrs(A, ipiv, B, uplo="L"):
 
 
 def sytri(A, ipiv, uplo="L"):
+    """Inverse from a `sytrf` factorization, in place on A.
+    """
     a = _arr(A)
     fn = _lp.zsytri if a.dtype.kind == "c" else _lp.dsytri
     inv, info = fn(a, _rawpiv(ipiv), lower=(uplo == "L"))
@@ -327,8 +406,10 @@ def sytri(A, ipiv, uplo="L"):
 
 
 def sysv(A, B, ipiv=None, uplo="L"):
-    """Reference argument order (lapack.c:2947): sysv(A, B, ipiv=None);
-    without ipiv the factorization is not returned and A is unchanged."""
+    """Solve A*X = B for symmetric indefinite A: Bunch-Kaufman
+    factorize (in place on A, pivots in ipiv if given) then solve (in
+    place on B).
+    """
     if ipiv is None:
         from .base import matrix as _m
         Ac = _m(np.array(_arr(A)))
@@ -341,6 +422,9 @@ def sysv(A, B, ipiv=None, uplo="L"):
 
 
 def hetrf(A, ipiv, uplo="L"):
+    """Bunch-Kaufman factorization of a HERMITIAN indefinite
+    matrix (A = L*D*L^H).  For 'd' data identical to `sytrf`.
+    """
     a = _arr(A)
     if a.dtype.kind != "c":
         return sytrf(A, ipiv, uplo)
@@ -353,6 +437,8 @@ def hetrf(A, ipiv, uplo="L"):
 
 
 def hetrs(A, ipiv, B, uplo="L"):
+    """Solve from a `hetrf` factorization, in place on B.
+    """
     a = _arr(A)
     if a.dtype.kind != "c":
         return sytrs(A, ipiv, B, uplo)
@@ -364,6 +450,8 @@ def hetrs(A, ipiv, B, uplo="L"):
 
 
 def hetri(A, ipiv, uplo="L"):
+    """Inverse from a `hetrf` factorization, in place on A.
+    """
     a = _arr(A)
     if a.dtype.kind != "c":
         return sytri(A, ipiv, uplo)
@@ -373,8 +461,9 @@ def hetri(A, ipiv, uplo="L"):
 
 
 def hesv(A, B, ipiv=None, uplo="L"):
-    """Reference argument order (lapack.c:3129): hesv(A, B, ipiv=None);
-    without ipiv the factorization is not returned and A is unchanged."""
+    """Factorize + solve for Hermitian indefinite A, in place on A
+    and B.
+    """
     if ipiv is None:
         from .base import matrix as _m
         Ac = _m(np.array(_arr(A)))
@@ -389,6 +478,10 @@ def hesv(A, B, ipiv=None, uplo="L"):
 # --- triangular ------------------------------------------------------------
 
 def trtrs(A, B, uplo="L", trans="N", diag="N"):
+    """Triangular solve op(A)*X = B with the uplo triangle of A
+    (diag='U' = unit diagonal), in place on B.  Raises
+    ArithmeticError on a zero diagonal (singular).
+    """
     a = _arr(A)
     fn = _lp.ztrtrs if a.dtype.kind == "c" else _lp.dtrtrs
     x, info = fn(a, np.asarray(B).reshape(a.shape[0], -1),
@@ -400,6 +493,8 @@ def trtrs(A, B, uplo="L", trans="N", diag="N"):
 
 
 def trtri(A, uplo="L", diag="N"):
+    """Triangular inverse, in place on the uplo triangle of A.
+    """
     a = _arr(A)
     fn = _lp.ztrtri if a.dtype.kind == "c" else _lp.dtrtri
     inv, info = fn(a, lower=(uplo == "L"), unitdiag=(diag == "U"))
@@ -408,6 +503,9 @@ def trtri(A, uplo="L", diag="N"):
 
 
 def tbtrs(A, B, uplo="L", trans="N", kd=None, diag="N"):
+    """Triangular BAND solve op(A)*X = B with A in 'tb' band
+    storage (kd off-diagonals), in place on B.
+    """
     a = _arr(A)
     if kd is None:
         kd = a.shape[0] - 1
@@ -421,6 +519,12 @@ def tbtrs(A, B, uplo="L", trans="N", kd=None, diag="N"):
 # --- least squares / orthogonal --------------------------------------------
 
 def gels(A, B, trans="N"):
+    """Least-squares / minimum-norm solve of op(A)*X = B for full-
+    rank A via QR/LQ: overdetermined systems get the least-squares
+    solution, underdetermined the minimum-norm one.  In place on B
+    (the leading rows hold X on exit); A is overwritten with its
+    factorization.
+    """
     a = _arr(A)
     b = np.asarray(B)
     m, n = a.shape
@@ -433,6 +537,10 @@ def gels(A, B, trans="N"):
 
 
 def geqrf(A, tau):
+    """QR factorization A = Q*R.  On exit A holds R (upper
+    triangle) and the Householder vectors below it; tau (length
+    min(m,n)) the scalar reflector coefficients.
+    """
     a = _arr(A)
     fn = _lp.zgeqrf if a.dtype.kind == "c" else _lp.dgeqrf
     qr, t, work, info = fn(a)
@@ -442,6 +550,10 @@ def geqrf(A, tau):
 
 
 def ormqr(A, tau, C, side="L", trans="N"):
+    """Multiply a real matrix by Q from a `geqrf` factorization:
+    C := op(Q)*C (side='L') or C*op(Q) ('R'), op per trans in
+    'N'/'T'.  In place on C.
+    """
     a = _arr(A)
     t = np.asarray(tau).reshape(-1)
     fn = _lp.dormqr
@@ -455,6 +567,9 @@ def ormqr(A, tau, C, side="L", trans="N"):
 
 
 def unmqr(A, tau, C, side="L", trans="N"):
+    """Complex counterpart of `ormqr` (op in 'N'/'C'); for 'd'
+    data the two agree.  In place on C.
+    """
     a = _arr(A)
     if a.dtype.kind != "c":
         return ormqr(A, tau, C, side, trans)
@@ -470,6 +585,9 @@ def unmqr(A, tau, C, side="L", trans="N"):
 
 
 def orgqr(A, tau):
+    """Form the leading columns of Q explicitly from a `geqrf`
+    factorization, in place on A.
+    """
     a = _arr(A)
     t = np.asarray(tau).reshape(-1)
     fn = _lp.zungqr if a.dtype.kind == "c" else _lp.dorgqr
@@ -482,10 +600,9 @@ ungqr = orgqr
 
 
 def gelqf(A, tau):
-    """LQ via QR of A^H (scipy lacks a gelqf wrapper): A = L Q.  The
-    explicit factors travel on the matrix object (disclosed compat shim:
-    the Householder (A, tau) representation is not reproduced, but
-    orglq/ormlq consume this factor with the reference's semantics)."""
+    """LQ factorization A = L*Q.  On exit A holds L (lower
+    triangle) and the Householder vectors; tau the coefficients.
+    """
     a = _arr(A)
     qf, rf = np.linalg.qr(a.conj().T, mode="complete")
     k = min(a.shape)
@@ -500,8 +617,9 @@ def gelqf(A, tau):
 
 
 def ormlq(A, tau, C, side="L", trans="N"):
-    """Multiply C by the full implicit Q of a gelqf factorization
-    (reference ormlq: Q has order C.rows for side='L')."""
+    """Multiply by Q from a `gelqf` factorization: C := op(Q)*C
+    or C*op(Q).  In place on C.
+    """
     if not hasattr(A, "_lq"):
         raise ValueError("ormlq requires a gelqf-factored A")
     _, Qf = A._lq
@@ -515,6 +633,9 @@ unmlq = ormlq
 
 
 def orglq(A, tau):
+    """Form the leading rows of Q explicitly from a `gelqf`
+    factorization, in place on A.
+    """
     if not hasattr(A, "_lq"):
         raise ValueError("orglq requires a gelqf-factored A")
     _, Qf = A._lq
@@ -529,6 +650,11 @@ unglq = orglq
 
 
 def geqp3(A, jpvt, tau):
+    """QR factorization WITH COLUMN PIVOTING: A*P = Q*R.  jpvt
+    (integer matrix, length n) on entry marks leading columns (nonzero
+    = move to front), on exit holds the 1-based permutation; tau the
+    reflector coefficients.  In place on A.
+    """
     a = _arr(A)
     fn = _lp.zgeqp3 if a.dtype.kind == "c" else _lp.dgeqp3
     qr, piv, t, work, info = fn(a)
@@ -563,10 +689,16 @@ def _full_sym(a, uplo, herm):
 
 
 def syev(A, W, jobz="N", uplo="L"):
+    """Symmetric eigenvalue decomposition: eigenvalues of the uplo
+    triangle of A into W (ascending); jobz='V' additionally overwrites
+    A with the orthonormal eigenvectors (one per column).
+    """
     _sy_eig(A, W, jobz, uplo, "ev")
 
 
 def syevd(A, W, jobz="N", uplo="L"):
+    """Divide-and-conquer variant of `syev` (same interface).
+    """
     _sy_eig(A, W, jobz, uplo, "evd")
 
 
@@ -576,8 +708,11 @@ heevd = syevd
 
 def syevx(A, W, jobz="N", range="A", uplo="L", vl=0.0, vu=0.0, il=1,
           iu=None, Z=None):
-    """Selected eigenvalues/vectors; returns the number found (reference
-    lapack.c syevx)."""
+    """Selected symmetric eigenvalues/eigenvectors: range='A' for
+    all, 'V' for those in (vl, vu], 'I' for index range [il, iu]
+    (1-based).  Eigenvalues land in W; with jobz='V' the eigenvectors
+    are written to Z (or A).  Returns the number found.
+    """
     a = _arr(A)
     herm = a.dtype.kind == "c"
     w, v = np.linalg.eigh(_full_sym(a, uplo, herm))
@@ -607,6 +742,9 @@ heevx = syevx
 
 def syevr(A, W, jobz="N", range="A", uplo="L", vl=0.0, vu=0.0, il=1,
           iu=None, Z=None):
+    """RRR variant of `syevx` (same interface; the reference's
+    recommended driver, lapack.c syevr).
+    """
     return syevx(A, W, jobz, range, uplo, vl, vu, il, iu, Z)
 
 
@@ -614,7 +752,11 @@ heevr = syevr
 
 
 def sygv(A, B, W, itype=1, jobz="N", uplo="L"):
-    """Generalized symmetric-definite eigenproblem (reference sygv)."""
+    """Generalized symmetric-definite eigenproblem
+    (itype=1: A*x = lambda*B*x).  B must be positive definite; on
+    exit W holds the eigenvalues, A the eigenvectors (jobz='V'), and
+    B its Cholesky factor.
+    """
     a, b = _arr(A), _arr(B)
     herm = a.dtype.kind == "c"
     Af = _full_sym(a, uplo, herm)
@@ -633,6 +775,11 @@ hegv = sygv
 
 
 def gesvd(A, S, jobu="N", jobvt="N", U=None, Vt=None):
+    """Singular value decomposition A = U*diag(S)*Vt.  S receives
+    the singular values (descending); jobu/jobvt in 'N'/'A'/'S'/'O'
+    control whether/where U and Vt are formed (into the optional U /
+    Vt arguments).  In place on A for the 'O' variants.
+    """
     a = _arr(A)
     u, s, vt = np.linalg.svd(a, full_matrices=(jobu == "A" or
                                                jobvt == "A"))
@@ -657,9 +804,12 @@ gesdd = gesvd
 
 
 def gees(A, w, V=None, select=None):
-    """Schur decomposition A = V T V^H; T overwrites A, eigenvalues in w
-    (reference gees).  Returns the number of selected eigenvalues (0 when
-    no select function is given)."""
+    """Schur decomposition A = V*T*V^H: on exit A holds the
+    (quasi-)triangular Schur form T, w the eigenvalues, and V (if
+    given) the Schur vectors.  An optional `select` callable orders
+    selected eigenvalues to the top-left; returns the number
+    selected.
+    """
     a = _arr(A)
     if a.dtype.kind == "c":
         if select is not None:
@@ -684,8 +834,12 @@ def gees(A, w, V=None, select=None):
 
 
 def gges(A, B, a=None, b=None, Vl=None, Vr=None, select=None):
-    """Generalized Schur: (A, B) -> (S, T) with unitary Vl, Vr
-    (reference gges)."""
+    """Generalized Schur decomposition of the pencil (A, B):
+    A = Vl*S*Vr^H, B = Vl*T*Vr^H.  a and b (if given) receive the
+    generalized eigenvalue numerators/denominators; Vl/Vr the left/
+    right Schur vectors; `select` orders selected pairs first.
+    Returns the number selected.
+    """
     Aa, Bb = _arr(A), _arr(B)
     out = sla.qz(Aa, Bb, output="complex"
                  if Aa.dtype.kind == "c" else "real")
@@ -727,6 +881,9 @@ def gges(A, B, a=None, b=None, Vl=None, Vr=None, select=None):
 # --- auxiliary -------------------------------------------------------------
 
 def lacpy(A, B, uplo=None):
+    """Copy all of A (uplo=None) or its uplo triangle into B, in
+    place on B.
+    """
     a = _arr(A)
     bv = np.asarray(B).copy()
     if uplo == "L":
@@ -741,8 +898,10 @@ def lacpy(A, B, uplo=None):
 
 
 def larfg(alpha, x):
-    """Householder reflector generation (reference larfg): returns beta,
-    overwrites x with v (v[0] implied 1), alpha with beta."""
+    """Generate an elementary Householder reflector H with
+    H*[alpha; x] = [beta; 0]: alpha (1x1 matrix) receives beta, x the
+    reflector vector v; returns tau.
+    """
     a = np.asarray(alpha).reshape(-1)[0]
     xv = np.asarray(x).reshape(-1)
     fn = _lp.zlarfg if np.iscomplexobj(xv) or np.iscomplexobj(a) \
@@ -755,7 +914,9 @@ def larfg(alpha, x):
 
 
 def larfx(V, tau, C, side="L"):
-    """Apply the Householder reflector H = I - tau v v^H to C."""
+    """Apply an elementary reflector H = I - tau*V*V^H to C from
+    the given side, in place on C.
+    """
     v = np.asarray(V).reshape(-1, 1)
     cc = np.asarray(C)
     H = np.eye(len(v)) - tau * (v @ v.conj().T)

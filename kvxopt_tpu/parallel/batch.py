@@ -118,8 +118,12 @@ def _dispatched_batch(jitted, nargs_for_n, kktsolver=None):
         dev = None if mixed else config.dispatch_device_batched(int(n))
         if dev is None:
             return jitted(*args)
-        args = tuple(a if a is None else jax.device_put(a, dev)
-                     for a in args)
+        # only already-committed device arrays need an explicit move;
+        # host (numpy) inputs are placed by default_device for free —
+        # the unconditional device_put cost ~9% of a B=64 n=16 batch
+        args = tuple(jax.device_put(a, dev)
+                     if isinstance(a, jax.Array) and a.committed
+                     else a for a in args)
         with jax.default_device(dev):
             return jitted(*args)
 

@@ -20,6 +20,8 @@ def _limits(size):
 
 
 def matrix_str_default(X):
+    """Format a dense matrix per
+    printing.options ('dformat', 'width', 'height')."""
     m, n = X.size
     pm, pn = _limits(X.size)
     tc = X.typecode
@@ -48,6 +50,8 @@ def matrix_str_default(X):
 
 
 def spmatrix_str_default(X):
+    """Format a sparse matrix like a dense one
+    with blanks at structural zeros."""
     m, n = X.size
     pm, pn = _limits(X.size)
     fmt = options.get("dformat", "% .2e")
@@ -82,6 +86,8 @@ def _in_pattern(csc, i, j):
 
 
 def spmatrix_str_triplet(X):
+    """Triplet (i, j, value) listing of a sparse
+    matrix's nonzeros."""
     coo = X.to_scipy().tocoo()
     order = np.lexsort((coo.row, coo.col))
     fmt = options.get("dformat", "% .2e")
