@@ -47,10 +47,33 @@ if not os.environ.get("KVXOPT_TPU_FAST_MATMUL"):
 
 # Persistent compilation cache: IPM programs are large and the first
 # compile per shape is expensive (especially through remote-compile
-# toolchains); cache them across processes.
+# toolchains); cache them across processes.  The directory is
+# fingerprinted by host CPU features + jax version: XLA:CPU entries are
+# AOT executables for the machine that compiled them, and LOADING one
+# on a host with a different feature set segfaults/SIGILLs (observed:
+# a full-suite run deserialized a stale entry from a wider-AVX512/AMX
+# machine and crashed inside compilation_cache.get_executable_and_time;
+# the cpu_aot_loader warning says exactly this).
+def _cache_fingerprint():
+    import hashlib
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":")[1].split()))
+                    break
+    except Exception:
+        import platform
+        feats = platform.processor() or platform.machine()
+    return hashlib.sha256(
+        (feats + "|" + jax.__version__).encode()).hexdigest()[:12]
+
+
 try:
     _cache_dir = os.environ.get(
         "KVXOPT_TPU_CACHE", os.path.expanduser("~/.cache/kvxopt_tpu_jax"))
+    _cache_dir = os.path.join(_cache_dir, _cache_fingerprint())
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

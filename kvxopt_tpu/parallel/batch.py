@@ -237,11 +237,14 @@ def batched_qp_solver_seq(dims, kktsolver="chol2_mixed", options=None,
     executor dispatch sends to the host anyway).
 
     `group` > 1 pipelines that many instances per map step (vmap inside
-    lax.map): the MXU sees `group` stacked panels per factorization,
-    trading a small lockstep penalty (worst-of-group trip counts)
-    for occupancy.  The f64-factor fallback stays a REAL cond at group
-    granularity — `kkt.cond_any` guards it on any(lane bad) — so a
-    well-conditioned group pays nothing for it."""
+    lax.map); the f64-factor fallback stays a REAL cond at group
+    granularity (`kkt.cond_any` guards it on any(lane bad)).  Measured
+    on chip at B=8-16 n=512 (BENCHNOTES r5): g=2 is throughput-neutral
+    vs g=1 (~2.4-2.6 solves/s either way — the per-iteration wall at
+    this size is f64 refinement work, not MXU occupancy), and g>=4
+    inherits the vmapped-mixed lockstep fragility on hard late-stage
+    iterates (lanes can hit the non-finite-step exit).  Keep the
+    default group=1 for production; the knob exists for experiments."""
     solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
 
     if group == 1:
