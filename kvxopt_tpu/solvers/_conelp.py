@@ -1135,9 +1135,13 @@ def sdp(c, Gl=None, hl=None, Gs=None, hs=None, A=None, b=None,
                              "not handle problems with equality "
                              "constraints")
         from .. import dsdp as _dsdp
+        # solvers.sdp callers expect conelp-level accuracy from every
+        # route, so tighten the dual-scaling gap beyond the DSDP
+        # interface default (1e-5) unless the user set it explicitly
+        dopts = dict((options or {}).get("dsdp") or {})
+        dopts.setdefault("DSDP_GapTolerance", 1e-8)
         status, x, r, zl, zs = _dsdp.sdp(c, Gl, hl, Gs, hs,
-                                         options=(options or {}).get(
-                                             "dsdp"))
+                                         options=dopts)
         return _dsdp_result(status, x, zl, zs, c, Gl, hl, Gs, hs)
     c = np.asarray(c, dtype=float).reshape(-1)
     Gparts, hparts, sl = [], [], []

@@ -233,8 +233,11 @@ def test_sdp_dsdp_full_result_dict():
                 "residual as dual infeasibility certificate",
                 "primal slack", "dual slack"):
         assert key in sol, key
+    # dsdp now runs a genuinely different algorithm (dual scaling), so
+    # compare by objective/feasibility: near a degenerate optimum x can
+    # differ along near-flat directions at equal objective value
     np.testing.assert_allclose(np.asarray(sol["x"]),
-                               np.asarray(ref["x"]), atol=1e-5)
+                               np.asarray(ref["x"]), atol=5e-4)
     assert abs(sol["primal objective"] - ref["primal objective"]) < 1e-5
     assert sol["gap"] < 1e-5
     assert sol["primal infeasibility"] < 1e-6
@@ -247,3 +250,91 @@ def test_sdp_dsdp_full_result_dict():
     sol2 = sdp(c, Gs=Gs, hs=hs, solver="dsdp",
                options={"dsdp": {"DSDP_MaxIts": 2}})
     assert sol2["status"] == "unknown"
+
+
+def test_dsdp_dual_scaling_with_linear_rows():
+    """Dual-scaling with both LP rows and an LMI agrees with conelp."""
+    rng = np.random.default_rng(3)
+    n, ml, m = 3, 4, 3
+    c = matrix(rng.standard_normal((n, 1)))
+    Gl = matrix(rng.standard_normal((ml, n)))
+    hl = matrix(np.abs(rng.standard_normal((ml, 1))) + 1.0)
+    Gk = rng.standard_normal((m * m, n))
+    for i in range(n):  # symmetric coefficient matrices
+        M = Gk[:, i].reshape(m, m)
+        Gk[:, i] = (0.5 * (M + M.T)).ravel()
+    Q = rng.standard_normal((m, m))
+    H = Q @ Q.T + m * np.eye(m)
+    Gs = [matrix(Gk)]
+    hs = [matrix(H)]
+    ref = solvers.sdp(c, Gl, hl, Gs, hs)
+    assert ref["status"] == "optimal"
+    st, x, r, zl, zs = dsdp.sdp(c, Gl, hl, Gs, hs)
+    assert st == "DSDP_PDFEASIBLE"
+    np.testing.assert_allclose(np.asarray(x).ravel(),
+                               np.asarray(ref["x"]).ravel(), atol=2e-3)
+    assert abs(float(np.asarray(r))) < 1e-6
+    # multiplier sanity: the returned duals satisfy the stationarity
+    # row of the DSDP dual (Gl'zl + Gs'vec(zs) + zb + c = 0) up to the
+    # (tiny) box multipliers
+    resid = (np.asarray(Gl).T @ np.asarray(zl).ravel()
+             + Gk.T @ np.asarray(zs[0]).ravel()
+             + np.asarray(c).ravel())
+    assert np.linalg.norm(resid) < 1e-3
+
+
+def test_dsdp_dual_scaling_infeasible():
+    """An infeasible LMI keeps the penalty r active -> DSDP_INFEASIBLE
+    (the reference's penalized-formulation semantics, dsdp.c:44-57)."""
+    # 0*x1 <= -I is infeasible (no x can help); the penalty r -> 1
+    c = matrix([0.0])
+    Gs = [matrix(np.zeros((4, 1)))]
+    hs = [matrix(-np.eye(2))]
+    st, x, r, zl, zs = dsdp.sdp(c, Gs=Gs, hs=hs)
+    assert st == "DSDP_INFEASIBLE"
+    assert float(np.asarray(r)) > 0.5   # r must cover the -I deficit
+
+
+def test_dsdp_dual_scaling_unbounded():
+    """An unbounded objective drives x to the beta box ->
+    DSDP_UNBOUNDED."""
+    c = matrix([-1.0])
+    Gs = [matrix(np.zeros((4, 1)))]   # no constraint on x
+    hs = [matrix(np.eye(2))]
+    st, x, r, zl, zs = dsdp.sdp(c, Gs=Gs, hs=hs, beta=100.0)
+    assert st == "DSDP_UNBOUNDED"
+
+
+def test_dsdp_dual_scaling_random_sweep():
+    """Random feasible SDPs: dual-scaling objective matches conelp to
+    the gap tolerance."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n, m = 2 + trial % 3, 2 + trial % 2
+        Gk = rng.standard_normal((m * m, n))
+        for i in range(n):
+            M = Gk[:, i].reshape(m, m)
+            Gk[:, i] = (0.5 * (M + M.T)).ravel()
+        Q = rng.standard_normal((m, m))
+        H = Q @ Q.T + m * np.eye(m)
+        c = rng.standard_normal(n)
+        ref = solvers.sdp(matrix(c.reshape(-1, 1)), None, None,
+                          [matrix(Gk)], [matrix(H)])
+        if ref["status"] != "optimal":
+            continue
+        st, x, r, zl, zs = dsdp.sdp(matrix(c.reshape(-1, 1)),
+                                    Gs=[matrix(Gk)], hs=[matrix(H)])
+        assert st == "DSDP_PDFEASIBLE", (trial, st)
+        obj = float(c @ np.asarray(x).ravel())
+        assert abs(obj - ref["primal objective"]) < \
+            1e-4 * (1 + abs(ref["primal objective"])), trial
+
+
+def test_dsdp_conelp_route_still_available():
+    c = matrix([1.0, -1.0, 1.0])
+    Gs = [matrix(np.zeros((4, 3)))]
+    Gs[0][0, 0] = -1.0; Gs[0][3, 1] = -1.0
+    hs = [matrix(np.eye(2))]
+    st, x, r, zl, zs = dsdp.sdp(c, Gs=Gs, hs=hs,
+                                options={"DSDP_UseConelp": 1})
+    assert st in ("DSDP_PDFEASIBLE", "DSDP_UNBOUNDED", "DSDP_UNKNOWN")
