@@ -1135,10 +1135,14 @@ def sdp(c, Gl=None, hl=None, Gs=None, hs=None, A=None, b=None,
                              "not handle problems with equality "
                              "constraints")
         from .. import dsdp as _dsdp
-        # solvers.sdp callers expect conelp-level accuracy from every
-        # route, so tighten the dual-scaling gap beyond the DSDP
-        # interface default (1e-5) unless the user set it explicitly
-        dopts = dict((options or {}).get("dsdp") or {})
+        from . import options as global_options
+        # solvers.options['dsdp'] (reference coneprog.py:3930) merged
+        # under per-call options; solvers.sdp callers expect
+        # conelp-level accuracy from every route, so tighten the
+        # dual-scaling gap beyond the DSDP interface default (1e-5)
+        # unless the user set it explicitly
+        dopts = dict(global_options.get("dsdp") or {})
+        dopts.update((options or {}).get("dsdp") or {})
         dopts.setdefault("DSDP_GapTolerance", 1e-8)
         status, x, r, zl, zs = _dsdp.sdp(c, Gl, hl, Gs, hs,
                                          options=dopts)
