@@ -7,8 +7,12 @@ variable r returns ~0 for feasible problems; an infeasible LMI keeps
 r > 0 and reports DSDP_INFEASIBLE instead of failing.
 """
 
+import os
+import sys
+
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from kvxopt_tpu import matrix, dsdp, solvers
 
 c = matrix([1.0, -1.0, 1.0])
