@@ -241,10 +241,19 @@ def batched_qp_solver_seq(dims, kktsolver="chol2_mixed", options=None,
     granularity (`kkt.cond_any` guards it on any(lane bad)).  Measured
     on chip at B=8-16 n=512 (BENCHNOTES r5): g=2 is throughput-neutral
     vs g=1 (~2.4-2.6 solves/s either way — the per-iteration wall at
-    this size is f64 refinement work, not MXU occupancy), and g>=4
-    inherits the vmapped-mixed lockstep fragility on hard late-stage
-    iterates (lanes can hit the non-finite-step exit).  Keep the
-    default group=1 for production; the knob exists for experiments."""
+    this size is f64 refinement work, not MXU occupancy; the exact-split
+    ozaki matvec buys ~8% at g=2 and is defaulted on for groups), and
+    g>=4 inherits the vmapped-mixed lockstep fragility on hard
+    late-stage iterates (lanes can hit the non-finite-step exit).  Keep
+    the default group=1 for production; the knob exists for
+    experiments."""
+    if group > 1:
+        # grouped lanes amortize the ozaki slice matmuls (measured
+        # 2.56-2.61 vs 2.35-2.39 solves/s at g=2 n=512, BENCHNOTES r5)
+        o = options if isinstance(options, Options) else Options(
+            **(options or {}))
+        if o.ozaki is None:
+            options = o._replace(ozaki=True)
     solve_one = make_qp_solver(dims, kktsolver, options, with_eq)
 
     if group == 1:
