@@ -273,7 +273,7 @@ def test_dsdp_dual_scaling_with_linear_rows():
     assert st == "DSDP_PDFEASIBLE"
     np.testing.assert_allclose(np.asarray(x).ravel(),
                                np.asarray(ref["x"]).ravel(), atol=2e-3)
-    assert abs(float(np.asarray(r))) < 1e-6
+    assert abs(float(np.asarray(r).ravel()[0])) < 1e-6
     # multiplier sanity: the returned duals satisfy the stationarity
     # row of the DSDP dual (Gl'zl + Gs'vec(zs) + zb + c = 0) up to the
     # (tiny) box multipliers
@@ -292,7 +292,7 @@ def test_dsdp_dual_scaling_infeasible():
     hs = [matrix(-np.eye(2))]
     st, x, r, zl, zs = dsdp.sdp(c, Gs=Gs, hs=hs)
     assert st == "DSDP_INFEASIBLE"
-    assert float(np.asarray(r)) > 0.5   # r must cover the -I deficit
+    assert float(np.asarray(r).ravel()[0]) > 0.5  # r covers the -I deficit
 
 
 def test_dsdp_dual_scaling_unbounded():
