@@ -1,5 +1,5 @@
 """External-solver bridges: glpk (HiGHS), osqp (native JAX ADMM), dsdp
-(conelp-backed), mosek/gurobi absence handling — mirroring the
+(native dual-scaling), mosek/gurobi absence handling — mirroring the
 reference's test_glpk.py / test_osqp.py / test_dsdp.py."""
 
 import numpy as np
